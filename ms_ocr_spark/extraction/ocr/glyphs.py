@@ -1,0 +1,116 @@
+"""Fixed 5x7 monospace bitmap glyph set (A-Z, 0-9) + deterministic renderer.
+
+Plays the role of the reference's charset-driven recognizer alphabet
+(`/root/reference/src/library/engine_realtime/charset_crnn.py:1`,
+`recognizer_crnn.py:42-59`): decoding is a lookup against a *known, fixed*
+glyph inventory, which is what makes the synthetic OCR pipeline exactly
+invertible (SURVEY.md §7 "hard parts" (1)).
+
+Rendering model (all deterministic):
+  * glyph cell 5x7 font px, scaled by SCALE (nearest), ink=0 on bg=255
+  * char advance = 6 font px (5 + 1 gap); word space = 4 extra font px
+  * multi-line: line advance = 10 font px (7 + 3 leading)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# fmt: off
+_FONT: dict[str, tuple[str, ...]] = {
+    "A": (".XXX.", "X...X", "X...X", "XXXXX", "X...X", "X...X", "X...X"),
+    "B": ("XXXX.", "X...X", "X...X", "XXXX.", "X...X", "X...X", "XXXX."),
+    "C": (".XXX.", "X...X", "X....", "X....", "X....", "X...X", ".XXX."),
+    "D": ("XXX..", "X..X.", "X...X", "X...X", "X...X", "X..X.", "XXX.."),
+    "E": ("XXXXX", "X....", "X....", "XXXX.", "X....", "X....", "XXXXX"),
+    "F": ("XXXXX", "X....", "X....", "XXXX.", "X....", "X....", "X...."),
+    "G": (".XXX.", "X...X", "X....", "X.XXX", "X...X", "X...X", ".XXXX"),
+    "H": ("X...X", "X...X", "X...X", "XXXXX", "X...X", "X...X", "X...X"),
+    "I": ("XXXXX", "..X..", "..X..", "..X..", "..X..", "..X..", "XXXXX"),
+    "J": ("..XXX", "...X.", "...X.", "...X.", "...X.", "X..X.", ".XX.."),
+    "K": ("X...X", "X..X.", "X.X..", "XX...", "X.X..", "X..X.", "X...X"),
+    "L": ("X....", "X....", "X....", "X....", "X....", "X....", "XXXXX"),
+    "M": ("X...X", "XX.XX", "X.X.X", "X.X.X", "X...X", "X...X", "X...X"),
+    "N": ("X...X", "XX..X", "X.X.X", "X..XX", "X...X", "X...X", "X...X"),
+    "O": (".XXX.", "X...X", "X...X", "X...X", "X...X", "X...X", ".XXX."),
+    "P": ("XXXX.", "X...X", "X...X", "XXXX.", "X....", "X....", "X...."),
+    "Q": (".XXX.", "X...X", "X...X", "X...X", "X.X.X", "X..X.", ".XX.X"),
+    "R": ("XXXX.", "X...X", "X...X", "XXXX.", "X.X..", "X..X.", "X...X"),
+    "S": (".XXXX", "X....", "X....", ".XXX.", "....X", "....X", "XXXX."),
+    "T": ("XXXXX", "..X..", "..X..", "..X..", "..X..", "..X..", "..X.."),
+    "U": ("X...X", "X...X", "X...X", "X...X", "X...X", "X...X", ".XXX."),
+    "V": ("X...X", "X...X", "X...X", "X...X", "X...X", ".X.X.", "..X.."),
+    "W": ("X...X", "X...X", "X...X", "X.X.X", "X.X.X", "XX.XX", "X...X"),
+    "X": ("X...X", "X...X", ".X.X.", "..X..", ".X.X.", "X...X", "X...X"),
+    "Y": ("X...X", "X...X", ".X.X.", "..X..", "..X..", "..X..", "..X.."),
+    "Z": ("XXXXX", "....X", "...X.", "..X..", ".X...", "X....", "XXXXX"),
+    "0": (".XXX.", "X...X", "X..XX", "X.X.X", "XX..X", "X...X", ".XXX."),
+    "1": ("..X..", ".XX..", "..X..", "..X..", "..X..", "..X..", "XXXXX"),
+    "2": (".XXX.", "X...X", "....X", "...X.", "..X..", ".X...", "XXXXX"),
+    "3": (".XXX.", "X...X", "....X", "..XX.", "....X", "X...X", ".XXX."),
+    "4": ("...X.", "..XX.", ".X.X.", "X..X.", "XXXXX", "...X.", "...X."),
+    "5": ("XXXXX", "X....", "XXXX.", "....X", "....X", "X...X", ".XXX."),
+    "6": (".XXX.", "X....", "X....", "XXXX.", "X...X", "X...X", ".XXX."),
+    "7": ("XXXXX", "....X", "...X.", "..X..", ".X...", ".X...", ".X..."),
+    "8": (".XXX.", "X...X", "X...X", ".XXX.", "X...X", "X...X", ".XXX."),
+    "9": (".XXX.", "X...X", "X...X", ".XXXX", "....X", "....X", ".XXX."),
+}
+# fmt: on
+
+ALPHABET = "".join(sorted(_FONT))
+GLYPH_W, GLYPH_H = 5, 7
+ADVANCE = 7  # font px from glyph start to next glyph start (2 px inter-glyph gap)
+SPACE_EXTRA = 4  # extra font px of gap marking a word space
+LINE_ADVANCE = 12  # font px between line tops (5 px inter-line gap: residual
+# deskew tilt on wide images must not close the blank band between lines)
+SCALE = 3  # render scale (nearest); glyph cell = 15x21 device px
+MARGIN = 8  # device px white margin around the text block
+INK, BG = 0, 255
+
+
+def glyph_bitmap(ch: str) -> np.ndarray:
+    """5x7 bool array (True = ink) for one character."""
+    rows = _FONT[ch]
+    return np.array([[c == "X" for c in row] for row in rows], dtype=bool)
+
+
+def glyph_template(ch: str, scale: int = SCALE) -> np.ndarray:
+    """Scaled uint8 template (ink=0, bg=255) used by the decoder."""
+    bm = glyph_bitmap(ch)
+    big = np.kron(bm, np.ones((scale, scale), dtype=bool))
+    return np.where(big, INK, BG).astype(np.uint8)
+
+
+def render_text(text: str, scale: int = SCALE, margin: int = MARGIN) -> np.ndarray:
+    """Render multi-line uppercase text to a uint8 grayscale image.
+
+    Only ALPHABET chars, spaces and newlines are drawable; anything else
+    raises (the corpus generator never emits others).
+    """
+    lines = text.split("\n")
+    width_fpx = max(
+        (sum(ADVANCE + (SPACE_EXTRA if c == " " else 0) for c in line) for line in lines),
+        default=ADVANCE,
+    )
+    height_fpx = LINE_ADVANCE * (len(lines) - 1) + GLYPH_H
+    img = np.full(
+        (height_fpx * scale + 2 * margin, width_fpx * scale + 2 * margin),
+        BG,
+        dtype=np.uint8,
+    )
+    for li, line in enumerate(lines):
+        x_fpx = 0
+        y0 = margin + li * LINE_ADVANCE * scale
+        for ch in line:
+            if ch == " ":
+                x_fpx += ADVANCE + SPACE_EXTRA
+                continue
+            if ch not in _FONT:
+                raise ValueError(f"unrenderable char {ch!r}")
+            tpl = glyph_template(ch, scale)
+            x0 = margin + x_fpx * scale
+            img[y0 : y0 + tpl.shape[0], x0 : x0 + tpl.shape[1]] = np.minimum(
+                img[y0 : y0 + tpl.shape[0], x0 : x0 + tpl.shape[1]], tpl
+            )
+            x_fpx += ADVANCE
+    return img

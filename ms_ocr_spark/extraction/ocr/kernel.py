@@ -1,0 +1,332 @@
+"""Deterministic OCR kernel: binarize -> deskew -> CC line segmentation -> decode.
+
+Pure numpy re-expression of the reference's extraction semantics
+(north_rule: "Tesseract-style LSTM recognition kernel (binarize, deskew,
+connected-component line segmentation, beam-decode)"); the individual
+stages mirror the reference's image-processor kernels:
+
+  * median denoise   ~ `image_processor/main.py:209-212` (medianBlur k=5)
+  * binarize         ~ `image_processor/main.py:214-229` (adaptive/fixed)
+  * deskew           ~ projection-profile search (reference relies on the
+                       detector nets being rotation-tolerant; here skew is
+                       synthetic and bounded, see datagen)
+  * CC segmentation  ~ `image_processor/main.py:245-251` (contour+bbox) and
+                       `detection_craft/main.py:113-166` (row grouping +
+                       in-row merge)
+  * greedy decode    ~ `engine_realtime/recognizer_crnn.py:42-59` (argmax
+                       per step against a fixed charset)
+
+Everything is a pure function of the input bytes — no models, no state —
+so it is safe (and cheap) inside an Arrow-batched pandas UDF.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .glyphs import ADVANCE, ALPHABET, BG, GLYPH_H, GLYPH_W, SCALE, SPACE_EXTRA, glyph_template
+
+# Candidate skew grid — matches the generator's rotation grid (datagen).
+SKEW_GRID = np.arange(-3.0, 3.01, 0.5)
+_BIN_TH = 128
+
+
+def rotate_nn(img: np.ndarray, deg: float, fill: int = BG) -> np.ndarray:
+    """Nearest-neighbor rotation about the image center, canvas expanded."""
+    if abs(deg) < 1e-9:
+        return img.copy()
+    th = np.deg2rad(deg)
+    c, s = np.cos(th), np.sin(th)
+    h, w = img.shape
+    nh = int(np.ceil(abs(h * c) + abs(w * s)))
+    nw = int(np.ceil(abs(w * c) + abs(h * s)))
+    yy, xx = np.mgrid[0:nh, 0:nw]
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    ncy, ncx = (nh - 1) / 2.0, (nw - 1) / 2.0
+    # inverse map: output px -> source px
+    sx = c * (xx - ncx) + s * (yy - ncy) + cx
+    sy = -s * (xx - ncx) + c * (yy - ncy) + cy
+    sxi = np.rint(sx).astype(np.int64)
+    syi = np.rint(sy).astype(np.int64)
+    ok = (sxi >= 0) & (sxi < w) & (syi >= 0) & (syi < h)
+    out = np.full((nh, nw), fill, dtype=img.dtype)
+    out[ok] = img[syi[ok], sxi[ok]]
+    return out
+
+
+def rotate_bilinear(img: np.ndarray, deg: float, fill: int = BG) -> np.ndarray:
+    """Bilinear rotation about the image center, canvas expanded.
+
+    Used for grayscale images (generation skew + deskew correction) —
+    antialiased edges survive the rotate/deskew round trip far better than
+    nearest-neighbor, which is what keeps template matching exact.
+    """
+    if abs(deg) < 1e-9:
+        return img.copy()
+    th = np.deg2rad(deg)
+    c, s = np.cos(th), np.sin(th)
+    h, w = img.shape
+    nh = int(np.ceil(abs(h * c) + abs(w * s)))
+    nw = int(np.ceil(abs(w * c) + abs(h * s)))
+    yy, xx = np.mgrid[0:nh, 0:nw]
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    ncy, ncx = (nh - 1) / 2.0, (nw - 1) / 2.0
+    sx = c * (xx - ncx) + s * (yy - ncy) + cx
+    sy = -s * (xx - ncx) + c * (yy - ncy) + cy
+    x0 = np.floor(sx).astype(np.int64)
+    y0 = np.floor(sy).astype(np.int64)
+    fx = sx - x0
+    fy = sy - y0
+    pad = np.full((h + 2, w + 2), float(fill))
+    pad[1 : h + 1, 1 : w + 1] = img.astype(np.float64)
+    ok = (x0 >= -1) & (x0 <= w - 1) & (y0 >= -1) & (y0 <= h - 1)
+    x0c = np.clip(x0 + 1, 0, w)
+    y0c = np.clip(y0 + 1, 0, h)
+    v = (
+        pad[y0c, x0c] * (1 - fx) * (1 - fy)
+        + pad[y0c, x0c + 1] * fx * (1 - fy)
+        + pad[y0c + 1, x0c] * (1 - fx) * fy
+        + pad[y0c + 1, x0c + 1] * fx * fy
+    )
+    out = np.full((nh, nw), float(fill))
+    out[ok] = v[ok]
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def median3(img: np.ndarray) -> np.ndarray:
+    """3x3 median filter (edge-replicated) — kills salt-and-pepper noise."""
+    p = np.pad(img, 1, mode="edge")
+    stack = np.stack(
+        [p[dy : dy + img.shape[0], dx : dx + img.shape[1]] for dy in range(3) for dx in range(3)]
+    )
+    return np.median(stack, axis=0).astype(img.dtype)
+
+
+def binarize(img: np.ndarray, th: int = _BIN_TH) -> np.ndarray:
+    """Bool ink mask (True where dark)."""
+    return img < th
+
+
+def estimate_skew(mask: np.ndarray, grid: np.ndarray = SKEW_GRID) -> float:
+    """Projection-profile skew estimate -> correction angle.
+
+    Rotates only the ink *coordinates* per candidate angle and scores the
+    squared row-histogram (text lines aligned -> maximal profile energy).
+    O(#ink * #angles), no image resampling.  Returns the angle to pass to
+    ``rotate_nn`` directly (i.e. the correction, not the applied skew).
+    """
+    ys, xs = np.nonzero(mask)
+    if len(ys) == 0:
+        return 0.0
+    cy, cx = ys.mean(), xs.mean()
+    best_deg, best_score = 0.0, -1.0
+    for deg in grid:
+        th = np.deg2rad(-deg)  # candidate correction
+        c, s = np.cos(th), np.sin(th)
+        yr = -s * (xs - cx) + c * (ys - cy)
+        xr = c * (xs - cx) + s * (ys - cy)
+        rows = np.rint(yr).astype(np.int64)
+        cols = np.rint(xr).astype(np.int64)
+        rcounts = np.bincount(rows - rows.min()).astype(np.float64)
+        ccounts = np.bincount(cols - cols.min()).astype(np.float64)
+        # rows dominate (line alignment), columns break ties on short
+        # single-line text where the row profile is weakly discriminative
+        score = float((rcounts**2).sum()) + float((ccounts**2).sum())
+        if score > best_score:
+            best_score, best_deg = score, float(deg)
+    return best_deg
+
+
+def connected_components(mask: np.ndarray) -> list[tuple[int, int, int, int]]:
+    """Run-based union-find CC labeling (8-connectivity via run overlap+1).
+
+    Returns component bounding boxes as (x1, y1, x2, y2) exclusive-end.
+    Equivalent role to cv2.connectedComponents in the reference
+    (`image_processor/main.py:292-305`), vectorized per row.
+    """
+    h, w = mask.shape
+    parent: list[int] = []
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+
+    # runs[r] = list of (x_start, x_end_exclusive, comp_id)
+    prev_runs: list[tuple[int, int, int]] = []
+    boxes: dict[int, list[int]] = {}
+    for r in range(h):
+        row = mask[r]
+        if not row.any():
+            prev_runs = []
+            continue
+        d = np.diff(row.astype(np.int8))
+        starts = list(np.nonzero(d == 1)[0] + 1)
+        ends = list(np.nonzero(d == -1)[0] + 1)
+        if row[0]:
+            starts.insert(0, 0)
+        if row[-1]:
+            ends.append(w)
+        cur_runs: list[tuple[int, int, int]] = []
+        for s, e in zip(starts, ends):
+            cid = len(parent)
+            parent.append(cid)
+            # 8-connectivity: overlap with previous row runs, expanded by 1
+            for ps, pe, pid in prev_runs:
+                if s < pe + 1 and ps - 1 < e:
+                    union(pid, cid)
+            cur_runs.append((s, e, cid))
+            boxes[cid] = [s, r, e, r + 1]
+        prev_runs = cur_runs
+    merged: dict[int, list[int]] = {}
+    for cid, (x1, y1, x2, y2) in boxes.items():
+        root = find(cid)
+        if root in merged:
+            m = merged[root]
+            m[0], m[1] = min(m[0], x1), min(m[1], y1)
+            m[2], m[3] = max(m[2], x2), max(m[3], y2)
+        else:
+            merged[root] = [x1, y1, x2, y2]
+    return [tuple(b) for b in merged.values()]
+
+
+def _group_lines(
+    mask: np.ndarray, boxes: list[tuple[int, int, int, int]]
+) -> list[list[tuple[int, int, int, int]]]:
+    """Cluster component boxes into text lines via row-projection bands.
+
+    Same role as the reference's row banding (`detection_craft/main.py:
+    113-129`), but driven by the deskewed mask's row-ink profile: line
+    bands are ink-row runs separated by >= 4 blank rows (inter-line gap is
+    ~9 px at LINE_ADVANCE=10, glyph pieces within a line overlap in y), and
+    each component goes to the band of maximal y-overlap.  Robust to
+    glyphs split into vertical pieces by the resample round trip.
+    """
+    if not boxes:
+        return []
+    ink_rows = mask.any(axis=1)
+    bands: list[tuple[int, int]] = []  # [start, end) row ranges
+    r = 0
+    h = len(ink_rows)
+    while r < h:
+        if not ink_rows[r]:
+            r += 1
+            continue
+        start = r
+        blank = 0
+        while r < h and blank < 4:
+            blank = blank + 1 if not ink_rows[r] else 0
+            r += 1
+        bands.append((start, r - blank))
+    lines: list[list[tuple[int, int, int, int]]] = [[] for _ in bands]
+    for b in boxes:
+        overlaps = [max(0, min(b[3], be) - max(b[1], bs)) for bs, be in bands]
+        lines[int(np.argmax(overlaps))].append(b)
+    return [ln for ln in lines if ln]
+
+
+def _merge_x_overlaps(line: list[tuple[int, int, int, int]]) -> list[tuple[int, int, int, int]]:
+    """Merge x-overlapping components of one line into glyph boxes.
+
+    Interval-merge semantics of the reference's in-row merge
+    (`detection_craft/main.py:131-166`).  Gap tolerance 2 px: glyph pieces
+    broken by the resample round trip sit <= 1 px apart, while the font's
+    inter-glyph gap is 2 font px (= 6 device px) minus jitter.
+    """
+    out: list[list[int]] = []
+    for b in sorted(line, key=lambda b: b[0]):
+        if out and b[0] < out[-1][2] + 3:
+            m = out[-1]
+            m[1], m[2], m[3] = min(m[1], b[1]), max(m[2], b[2]), max(m[3], b[3])
+        else:
+            out.append(list(b))
+    return [tuple(m) for m in out]
+
+
+def _resize_mask_nn(mask: np.ndarray, h: int, w: int) -> np.ndarray:
+    ys = np.minimum((np.arange(h) * mask.shape[0] / h).astype(np.int64), mask.shape[0] - 1)
+    xs = np.minimum((np.arange(w) * mask.shape[1] / w).astype(np.int64), mask.shape[1] - 1)
+    return mask[np.ix_(ys, xs)]
+
+
+def _build_template_stack() -> tuple[np.ndarray, list[str]]:
+    """Stack of glyph templates at residual-skew variants (-2..+2 deg).
+
+    Deskew on short single-line text can be off by ~1 deg (the projection
+    profile ties); matching against lightly rotated templates absorbs it.
+    """
+    th, tw = GLYPH_H * SCALE, GLYPH_W * SCALE
+    stack, chars = [], []
+    for ch in ALPHABET:
+        tpl_img = glyph_template(ch)
+        for deg in (-2.0, -1.0, 0.0, 1.0, 2.0):
+            rot = rotate_nn(tpl_img, deg) if deg else tpl_img
+            m = rot < _BIN_TH
+            ys, xs = np.nonzero(m)
+            m = m[ys.min() : ys.max() + 1, xs.min() : xs.max() + 1]
+            stack.append(_resize_mask_nn(m, th, tw))
+            chars.append(ch)
+    return np.stack(stack), chars
+
+
+_TPL_STACK, _TPL_CHARS = _build_template_stack()
+
+
+def _decode_glyph(crop: np.ndarray) -> str:
+    """Greedy nearest-template decode (reference's argmax-per-step analog,
+    `recognizer_crnn.py:42-59`).
+
+    The resample round trip jitters component boxes by ~1 px, so the crop
+    and four 1-px-trimmed variants are all scored against the full
+    (glyph x residual-skew) template stack; global min wins.  One
+    vectorized comparison per variant.
+    """
+    th, tw = GLYPH_H * SCALE, GLYPH_W * SCALE
+    variants = [crop]
+    if crop.shape[0] > 2:
+        variants += [crop[1:, :], crop[:-1, :]]
+    if crop.shape[1] > 2:
+        variants += [crop[:, 1:], crop[:, :-1]]
+    best_ch, best_d = "?", 1 << 30
+    for v in variants:
+        resized = _resize_mask_nn(v, th, tw)
+        dists = (resized[None, :, :] != _TPL_STACK).sum(axis=(1, 2))
+        i = int(np.argmin(dists))
+        if int(dists[i]) < best_d:
+            best_d, best_ch = int(dists[i]), _TPL_CHARS[i]
+    return best_ch
+
+
+def decode_image(img: np.ndarray) -> str:
+    """Full kernel: grayscale image -> recovered text (lines joined by \\n)."""
+    den = median3(img)
+    mask = binarize(den)
+    corr = estimate_skew(mask)
+    if corr != 0.0:
+        # correct on the denoised grayscale with bilinear resampling —
+        # antialiasing keeps strokes intact through the round trip; the
+        # higher threshold (160 vs 128) compensates double-blur stroke fade
+        mask = binarize(rotate_bilinear(den, corr), 160)
+    comps = connected_components(mask)
+    # drop specks the median filter let through (reference min-size predicate,
+    # `detection_craft/main.py:76-77`)
+    comps = [b for b in comps if (b[2] - b[0]) >= 2 and (b[3] - b[1]) >= 2]
+    lines_out: list[str] = []
+    space_gap = (ADVANCE - GLYPH_W + SPACE_EXTRA / 2.0) * SCALE  # between inner gap and word gap
+    for line in _group_lines(mask, comps):
+        glyph_boxes = _merge_x_overlaps(line)
+        text: list[str] = []
+        prev_x2: int | None = None
+        for x1, y1, x2, y2 in glyph_boxes:
+            if prev_x2 is not None and (x1 - prev_x2) > space_gap:
+                text.append(" ")
+            text.append(_decode_glyph(mask[y1:y2, x1:x2]))
+            prev_x2 = x2
+        lines_out.append("".join(text))
+    return "\n".join(lines_out)

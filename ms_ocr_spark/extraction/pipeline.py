@@ -1,0 +1,186 @@
+"""Flagship batch extraction job: interleaved text+media documents -> spans.
+
+Plan shape (SURVEY.md §7 step 3, north_rule):
+
+    documents ──posexplode(spans)──┬── kind='text'  ── arc90 pandas UDF ──┐
+                                   │                                      ├─ unionByName
+                                   └── kind='media' ─ join media_store ───┘
+                                         (broadcast when small)  ocr UDF
+    ── groupBy(doc_id) ── array_sort(collect_list(struct(offset,…))) ── spans
+
+Order preservation (the reference's detection-order invariant — ordered
+span lists at `/root/reference/src/library/engine_paddle/main.py:274-283`)
+is carried entirely by the `offset` column: `array_sort` on a struct whose
+first field is `offset` re-stitches the original interleaving exactly.
+
+Scale notes (100 TB / 10^12 docs):
+  * the explode turns per-doc work into per-span rows, so one mega-document
+    never pins a single task — `salt_partitions` adds an explicit
+    repartition on (doc_id, offset) before the expensive UDFs (the
+    "salted repartitioning" of the north rule); AQE skew-join handles the
+    media join side.
+  * the media join is an equi-join on media_ref: broadcast when the store
+    fits (`broadcast_media=True`), else sort-merge under AQE.
+  * `two_level_regroup=True` pre-aggregates span chunks per (doc_id,
+    offset bucket) before the final groupBy so no single reducer ever
+    materializes 10^5 raw span rows at once.
+  * UDFs are Arrow-batched pandas UDFs (input_hint: no per-row Python).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SPAN_STRUCT = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("offset", T.IntegerType()),
+    ]
+)
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("spans", T.ArrayType(SPAN_STRUCT)),
+    ]
+)
+
+
+@F.pandas_udf(T.StringType())
+def extract_text_spans(html: pd.Series) -> pd.Series:
+    """Arc90-style boilerplate strip (north_rule text branch), Arrow-batched."""
+    from ms_ocr_spark.extraction.arc90 import extract_main_text
+
+    return html.map(extract_main_text, na_action="ignore")
+
+
+@F.pandas_udf(T.StringType())
+def ocr_media_spans(payload: pd.Series) -> pd.Series:
+    """OCR kernel (binarize/deskew/CC-segment/decode), Arrow-batched.
+
+    Replaces the reference's per-request engine subprocess
+    (`/root/reference/src/library/engine_tesseract/main.py:117-131`); the
+    kernel is stateless/pure so a Series->Series UDF suffices (no
+    per-partition model init to amortize — cf. SURVEY.md §2.10).
+    """
+    from ms_ocr_spark.extraction.ocr import decode_gray, decode_image
+
+    def _one(buf) -> str | None:
+        if buf is None:
+            return None
+        return decode_image(decode_gray(bytes(buf)))
+
+    return payload.map(_one)
+
+
+def explode_spans(docs: DataFrame) -> DataFrame:
+    """documents(doc_id, spans) -> one row per span (flat columns)."""
+    return docs.select(
+        "doc_id", F.explode("spans").alias("span")
+    ).select(
+        "doc_id",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
+def _restitch(flat: DataFrame, two_level_regroup: bool, bucket_size: int = 1024) -> DataFrame:
+    """(doc_id, kind, out_text, media_ref, offset) -> (doc_id, spans) ordered by offset."""
+    # array_sort over struct(offset, ...) sorts by offset (first field);
+    # fields are then re-ordered to the public span layout.
+    sortable = F.struct(
+        F.col("offset").alias("offset"),
+        F.col("kind").alias("kind"),
+        F.col("out_text").alias("text"),
+        F.col("media_ref").alias("media_ref"),
+    )
+    if not two_level_regroup:
+        grouped = flat.groupBy("doc_id").agg(
+            F.array_sort(F.collect_list(sortable)).alias("sorted_spans")
+        )
+    else:
+        # two-level: bound reducer memory for mega-docs (FIXTURES.md skew tier)
+        grouped = (
+            flat.withColumn("obucket", (F.col("offset") / F.lit(bucket_size)).cast("int"))
+            .groupBy("doc_id", "obucket")
+            .agg(F.array_sort(F.collect_list(sortable)).alias("chunk"))
+            .groupBy("doc_id")
+            .agg(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("obucket"), F.col("chunk")))
+                        ),
+                        lambda s: s["chunk"],
+                    )
+                ).alias("sorted_spans")
+            )
+        )
+    return grouped.select(
+        "doc_id",
+        F.transform(F.col("sorted_spans"), _reorder_span_fields).alias("spans"),
+    )
+
+
+def _reorder_span_fields(s: Column) -> Column:
+    return F.struct(
+        s["kind"].alias("kind"),
+        s["text"].alias("text"),
+        s["media_ref"].alias("media_ref"),
+        s["offset"].alias("offset"),
+    )
+
+
+def extract_documents(
+    docs: DataFrame,
+    media: DataFrame,
+    broadcast_media: bool = True,
+    salt_partitions: int | None = None,
+    two_level_regroup: bool = False,
+    keep_empty_docs: bool = False,
+) -> DataFrame:
+    """Run the full extraction; returns (doc_id, spans) matching golden_spans.
+
+    `salt_partitions`: explicit repartition on (doc_id, offset) before the
+    UDFs — defuses large-document skew by spreading a mega-doc's spans over
+    the cluster instead of one input partition.
+
+    `keep_empty_docs`: docs whose `spans` array is empty produce no rows
+    after the explode and would vanish; True re-joins the doc_id spine so
+    they appear with an empty output array (costs one extra join — leave
+    off when the corpus guarantees non-empty docs).
+    """
+    flat = explode_spans(docs)
+    if salt_partitions:
+        flat = flat.repartition(salt_partitions, "doc_id", "offset")
+
+    text_branch = flat.filter(F.col("kind") == "text").withColumn(
+        "out_text", extract_text_spans(F.col("text"))
+    )
+    media_side = media.select("media_ref", "payload")
+    if broadcast_media:
+        media_side = F.broadcast(media_side)
+    media_branch = (
+        flat.filter(F.col("kind") == "media")
+        .join(media_side, "media_ref", "left")
+        .withColumn("out_text", ocr_media_spans(F.col("payload")))
+    )
+
+    cols = ["doc_id", "kind", "out_text", "media_ref", "offset"]
+    unioned = text_branch.select(*cols).unionByName(media_branch.select(*cols))
+    result = _restitch(unioned, two_level_regroup)
+    if keep_empty_docs:
+        spine = docs.select("doc_id")
+        result = spine.join(result, "doc_id", "left").select(
+            "doc_id",
+            F.coalesce(
+                F.col("spans"), F.lit([]).cast(T.ArrayType(SPAN_STRUCT))
+            ).alias("spans"),
+        )
+    return result

@@ -1,0 +1,31 @@
+"""Deterministic cross-engine hashing (Spark column expr + DuckDB SQL twin).
+
+Spark's builtin hash/xxhash64 and DuckDB's hash() use different algorithms,
+so every operator that must be oracle-checkable derives integers from md5
+hex — identical in both engines:
+
+    Spark : conv(substring(md5(s), 1, 15), 16, 10)  cast long
+    DuckDB: CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)
+
+15 hex digits < 2^60 always fits signed int64.  Used by minhash, simhash,
+LSH hyperplanes and exact-dedup keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def md5_long(col: Column | str, salt: str | None = None) -> Column:
+    """60-bit non-negative int from md5(salt || ':' || col)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if salt is not None:
+        c = F.concat(F.lit(f"{salt}:"), c)
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def md5_long_sql(expr: str, salt: str | None = None) -> str:
+    """DuckDB twin of md5_long (expr is a SQL string expression)."""
+    inner = f"concat('{salt}:', {expr})" if salt is not None else expr
+    return f"CAST(concat('0x', substr(md5({inner}), 1, 15)) AS BIGINT)"

@@ -1,0 +1,179 @@
+"""Spatial box operators: overlap theta-join, containment anti-join,
+order-dependent overlap dedup, grid reconstruction.
+
+Re-expresses the reference's geometry passes (SURVEY.md §2.2 P6/P7, §2.3
+J1/J2, §2.4 A2-A5):
+
+  * overlap_join        ~ text-box ⋈ cell-box >50%-of-text-area join
+                          (`/root/reference/src/library/engine_paddle/
+                          main.py:33-54,117-140`)
+  * containment_anti    ~ nested-box drop (`detection_craft/main.py:98-111`)
+  * dedup_overlap_keep_first ~ `_filterOverlapBox` greedy keep-first
+                          (`engine_paddle/main.py:56-83`) — order-dependent,
+                          so it runs as a grouped pandas UDF sorted by
+                          detection order, never as a join
+  * table_grid          ~ `_clusterPosition`/`_buildDataFrame` grid pivot
+                          (`data_to_table/main.py:177-210,256-272`)
+
+Box convention: integer (x1, y1, x2, y2), end-exclusive areas
+(x2-x1)*(y2-y1), matching the reference's int-cast coords.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .windows import gap_cluster
+
+
+def overlap_join(
+    cells: DataFrame,
+    texts: DataFrame,
+    doc_col: str = "doc_id",
+    min_frac_of_text: float = 0.5,
+) -> DataFrame:
+    """Theta join: text boxes overlapping a cell box > `min_frac_of_text`
+    of the text's own area.
+
+    Columns required on both sides: doc_col, x1..y2 (prefixed c_/t_ in the
+    output).  The equi-key on doc_id lets Catalyst plan a hash/sort-merge
+    join on doc_id with the range predicate applied post-match — per-doc
+    co-location means no cross-doc pair explosion.  Integer overlap math
+    (2*overlap > area) avoids float comparisons for oracle parity.
+    """
+    c = cells.select(
+        F.col(doc_col),
+        *[F.col(n).alias(f"c_{n}") for n in ("box_id", "x1", "y1", "x2", "y2")],
+    )
+    t = texts.select(
+        F.col(doc_col),
+        *[F.col(n).alias(f"t_{n}") for n in ("box_id", "x1", "y1", "x2", "y2")],
+    )
+    ox = F.greatest(
+        F.lit(0), F.least("c_x2", "t_x2") - F.greatest("c_x1", "t_x1")
+    )
+    oy = F.greatest(
+        F.lit(0), F.least("c_y2", "t_y2") - F.greatest("c_y1", "t_y1")
+    )
+    t_area = (F.col("t_x2") - F.col("t_x1")) * (F.col("t_y2") - F.col("t_y1"))
+    frac_num = ox * oy
+    cond = frac_num * F.lit(int(round(1 / min_frac_of_text))) > t_area
+    return (
+        c.join(t, on=doc_col, how="inner")
+        .filter(cond)
+        .withColumn("overlap_area", frac_num)
+    )
+
+
+def containment_anti(boxes: DataFrame, doc_col: str = "doc_id") -> DataFrame:
+    """Drop boxes fully contained in another box of the same document.
+
+    Left-anti self-join on the containment predicate — the set-based twin
+    of the reference's O(n^2) loop.  Requires columns box_id, x1..y2.
+    """
+    a = boxes.alias("a")
+    b = boxes.alias("b")
+    contained = (
+        (F.col(f"a.{doc_col}") == F.col(f"b.{doc_col}"))
+        & (F.col("a.box_id") != F.col("b.box_id"))
+        & (F.col("a.x1") >= F.col("b.x1"))
+        & (F.col("a.y1") >= F.col("b.y1"))
+        & (F.col("a.x2") <= F.col("b.x2"))
+        & (F.col("a.y2") <= F.col("b.y2"))
+    )
+    return a.join(b, contained, "left_anti")
+
+
+def dedup_overlap_keep_first(
+    boxes: DataFrame,
+    doc_col: str = "doc_id",
+    order_col: str = "box_id",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Greedy keep-first overlap dedup (order-dependent semantics).
+
+    A box is dropped when its mutual overlap with an already-KEPT earlier
+    box exceeds `threshold` of BOTH areas — the keep-set evolves during the
+    scan, so this is not expressible as a join; it runs per-document inside
+    an applyInPandas (docs are independent -> perfectly parallel, the
+    grouped shuffle is the only data movement).
+    """
+    schema = boxes.schema
+
+    def _dedup(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        kept_idx: list[int] = []
+        x1 = pdf["x1"].to_numpy()
+        y1 = pdf["y1"].to_numpy()
+        x2 = pdf["x2"].to_numpy()
+        y2 = pdf["y2"].to_numpy()
+        area = (x2 - x1) * (y2 - y1)
+        for i in range(len(pdf)):
+            drop = False
+            for j in kept_idx:
+                ox = max(0, min(x2[i], x2[j]) - max(x1[i], x1[j]))
+                oy = max(0, min(y2[i], y2[j]) - max(y1[i], y1[j]))
+                ov = ox * oy
+                if area[i] > 0 and area[j] > 0 and ov / area[i] > threshold and ov / area[j] > threshold:
+                    drop = True
+                    break
+            if not drop:
+                kept_idx.append(i)
+        return pdf.iloc[kept_idx]
+
+    return boxes.groupBy(doc_col).applyInPandas(_dedup, schema=schema)
+
+
+def table_grid(
+    cells: DataFrame,
+    doc_col: str = "doc_id",
+    y_tol: int = 10,
+    x_tol: int = 15,
+) -> DataFrame:
+    """Cluster cell boxes into (row_idx, col_idx) grid coordinates.
+
+    Gap-clusters y-centers (tol 10) and x-centers (tol 15) per document —
+    the tolerances are the reference's (`data_to_table/main.py:294-296`).
+    Returns the input plus row_idx/col_idx plus per-cluster centroid
+    columns (row_center, col_center ~ `_clusterPositionAverage`,
+    `data_to_table/main.py:246-254`).
+    """
+    with_centers = cells.withColumn(
+        "_yc", ((F.col("y1") + F.col("y2")) / 2).cast("double")
+    ).withColumn("_xc", ((F.col("x1") + F.col("x2")) / 2).cast("double"))
+    rows = gap_cluster(with_centers, [doc_col], "_yc", y_tol, "row_idx")
+    both = gap_cluster(rows, [doc_col], "_xc", x_tol, "col_idx")
+    from pyspark.sql import Window
+
+    wr = Window.partitionBy(doc_col, "row_idx")
+    wc = Window.partitionBy(doc_col, "col_idx")
+    return (
+        both.withColumn("row_center", F.avg("_yc").over(wr))
+        .withColumn("col_center", F.avg("_xc").over(wc))
+        .drop("_yc", "_xc")
+    )
+
+
+def grid_pivot(
+    grid: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    order_col: str = "box_id",
+    reverse: bool = True,
+) -> DataFrame:
+    """Dense (doc, row_idx, col_idx) -> concatenated cell text.
+
+    Multi-hit cells concatenate their texts in REVERSED detection order —
+    faithfully odd, per the reference (`data_to_table/main.py:307`
+    `'\\n'.join(reversed(...))`).  Sorting by order_col inside the array
+    makes collect_list's nondeterministic order irrelevant.
+    """
+    order_struct = F.struct(F.col(order_col), F.col(text_col))
+    arr = F.array_sort(F.collect_list(order_struct))
+    arr = F.reverse(arr) if reverse else arr
+    return grid.groupBy(doc_col, "row_idx", "col_idx").agg(
+        F.concat_ws("\n", F.transform(arr, lambda s: s[text_col])).alias("cell_text"),
+        F.count(F.lit(1)).alias("n_texts"),
+    )

@@ -1,0 +1,206 @@
+"""Deterministic synthetic interleaved-document corpus (FIXTURES.md).
+
+Generates the three fixture tables as parquet (pyarrow, no Spark needed):
+
+  documents   (doc_id string, spans array<struct<kind,text,media_ref,offset>>)
+  media_store (media_ref string, payload binary PNG, truth_text string)
+  golden_spans(doc_id string, spans array<struct<kind,text,media_ref,offset>>)
+
+Everything is keyed off md5 of (seed, key) — stable across processes
+(Python's builtin hash is salted, so it is never used).  The schema is the
+authoritative input shape from BASELINE.json input_hint; span interleaving
+mirrors FIXTURES.md §1 (1-12 spans/doc, ~2/3 text, 1/3 media, contiguous
+0-based offsets).  Media payloads are real PNG bytes of known text rendered
+from the fixed glyph set, with seeded rotation (deskew exercise) and
+salt-and-pepper noise (binarize/denoise exercise) — so the OCR kernel's
+output is exactly checkable (golden = truth_text).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ms_ocr_spark.extraction.ocr.glyphs import ALPHABET, render_text
+from ms_ocr_spark.extraction.ocr.png import encode_gray
+
+SPAN_FIELDS = [
+    ("kind", pa.string()),
+    ("text", pa.string()),
+    ("media_ref", pa.string()),
+    ("offset", pa.int32()),
+]
+SPAN_STRUCT = pa.struct(SPAN_FIELDS)
+DOCS_SCHEMA = pa.schema([("doc_id", pa.string()), ("spans", pa.list_(SPAN_STRUCT))])
+MEDIA_SCHEMA = pa.schema(
+    [("media_ref", pa.string()), ("payload", pa.binary()), ("truth_text", pa.string())]
+)
+
+_TEXT_WORDS = (
+    "stream batch shuffle partition catalyst arrow vector column predicate "
+    "pushdown broadcast skew salt lineage checkpoint resume iceberg parquet "
+    "document span media offset extraction boilerplate density heuristic "
+    "window session cluster merge pivot grid overlap dedup fingerprint"
+).split()
+_NAV_WORDS = "home about contact login signup pricing blog docs careers terms".split()
+_OCR_WORDS = (
+    "SPARK BATCH SHUFFLE ARROW VECTOR COLUMN SALT SKEW MERGE PIVOT GRID "
+    "OCR SPAN MEDIA TEXT DOC LINE GLYPH KERNEL DECODE BINARIZE DESKEW "
+    "A1 B2 C3 7Z 42 GRAFT TABLE CELL ROW COL X9 Q8"
+).split()
+
+SKEW_DEGREES = np.arange(-3.0, 3.01, 0.5)
+
+
+def _h(seed: int, *key: object) -> int:
+    s = f"{seed}:" + ":".join(str(k) for k in key)
+    return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+
+def _pick(pool: list[str], h: int, n: int, stride: int = 7) -> list[str]:
+    return [pool[(h + i * stride) % len(pool)] for i in range(n)]
+
+
+def _paragraph(seed: int, doc_i: int, off: int, pi: int) -> str:
+    """One main-content paragraph: long, comma-rich, link-free (Arc90 keeps it)."""
+    h = _h(seed, "para", doc_i, off, pi)
+    n = 14 + h % 10
+    words = _pick(_TEXT_WORDS, h, n)
+    # two commas so the paragraph scores >= 3 on its own
+    words[4] = words[4] + ","
+    words[9] = words[9] + ","
+    return " ".join(words) + "."
+
+
+def make_text_span_html(seed: int, doc_i: int, off: int) -> tuple[str, str]:
+    """Returns (html, expected_main_text) for one text span."""
+    h = _h(seed, "text", doc_i, off)
+    n_para = 1 + h % 3
+    paras = [_paragraph(seed, doc_i, off, pi) for pi in range(n_para)]
+    nav = "".join(f'<a href="#{w}">{w}</a> ' for w in _pick(_NAV_WORDS, h, 6, 3))
+    farm = "".join(f'<a href="#{w}">{w} {w}</a> ' for w in _pick(_NAV_WORDS, h + 1, 8, 5))
+    main = "".join(f"<p>{p}</p>" for p in paras)
+    footer_w = _pick(_TEXT_WORDS, h + 2, 3)
+    html = (
+        "<html><body>"
+        f'<div class="nav">{nav}</div>'
+        f'<div class="main">{main}</div>'
+        f'<div class="sidebar">{farm}</div>'
+        f'<div class="footer"><p>{" ".join(footer_w)}</p><a href="#t">terms</a></div>'
+        "</body></html>"
+    )
+    return html, "\n".join(paras)
+
+
+def make_media_truth(seed: int, doc_i: int, off: int) -> str:
+    """Known uppercase text (1-2 lines) for one media span."""
+    h = _h(seed, "media", doc_i, off)
+    n_lines = 1 + (h >> 8) % 2
+    lines = []
+    for li in range(n_lines):
+        hw = _h(seed, "mline", doc_i, off, li)
+        words = _pick(_OCR_WORDS, hw, 1 + hw % 3, 11)
+        lines.append(" ".join(words))
+    return "\n".join(lines)
+
+
+def render_media_payload(seed: int, media_ref: str, truth: str) -> bytes:
+    """Render truth text -> rotate (seeded grid angle) -> noise -> PNG bytes."""
+    from ms_ocr_spark.extraction.ocr.kernel import rotate_bilinear
+
+    h = _h(seed, "payload", media_ref)
+    img = render_text(truth)
+    deg = float(SKEW_DEGREES[h % len(SKEW_DEGREES)])
+    img = rotate_bilinear(img, deg)
+    rng = np.random.default_rng(h)
+    flips = rng.random(img.shape) < 0.003
+    salt = rng.random(img.shape) < 0.5
+    img = img.copy()
+    img[flips & salt] = 255
+    img[flips & ~salt] = 0
+    return encode_gray(img)
+
+
+def _spans_for_doc(seed: int, doc_i: int, span_mult: int = 1) -> list[dict]:
+    h = _h(seed, "doc", doc_i)
+    n = (1 + h % 12) * span_mult
+    spans = []
+    for off in range(n):
+        kind = "media" if _h(seed, "kind", doc_i, off) % 3 == 0 else "text"
+        spans.append({"kind": kind, "offset": off})
+    return spans
+
+
+def gen_corpus(
+    n_docs: int,
+    seed: int = 42,
+    skew_doc_pct: float = 0.0,
+    skew_mult: int = 50,
+) -> tuple[pa.Table, pa.Table, pa.Table]:
+    """Build (documents, media_store, golden_spans) arrow tables.
+
+    skew_doc_pct > 0 gives that fraction of docs `skew_mult`x the span count
+    (FIXTURES.md bench tier: exercises salted repartitioning / AQE skew).
+    """
+    doc_rows, media_rows, golden_rows = [], [], []
+    n_skewed = int(n_docs * skew_doc_pct)
+    for i in range(n_docs):
+        doc_id = f"doc-{i:08d}"
+        mult = skew_mult if (n_skewed and i % max(1, n_docs // n_skewed) == 0) else 1
+        in_spans, out_spans = [], []
+        for s in _spans_for_doc(seed, i, mult):
+            off = s["offset"]
+            if s["kind"] == "text":
+                html, main = make_text_span_html(seed, i, off)
+                in_spans.append(
+                    {"kind": "text", "text": html, "media_ref": None, "offset": off}
+                )
+                out_spans.append(
+                    {"kind": "text", "text": main, "media_ref": None, "offset": off}
+                )
+            else:
+                ref = f"img-{doc_id}-{off}"
+                truth = make_media_truth(seed, i, off)
+                media_rows.append(
+                    {
+                        "media_ref": ref,
+                        "payload": render_media_payload(seed, ref, truth),
+                        "truth_text": truth,
+                    }
+                )
+                in_spans.append(
+                    {"kind": "media", "text": None, "media_ref": ref, "offset": off}
+                )
+                out_spans.append(
+                    {"kind": "media", "text": truth, "media_ref": ref, "offset": off}
+                )
+        doc_rows.append({"doc_id": doc_id, "spans": in_spans})
+        golden_rows.append({"doc_id": doc_id, "spans": out_spans})
+    docs = pa.Table.from_pylist(doc_rows, schema=DOCS_SCHEMA)
+    media = pa.Table.from_pylist(media_rows, schema=MEDIA_SCHEMA)
+    golden = pa.Table.from_pylist(golden_rows, schema=DOCS_SCHEMA)
+    return docs, media, golden
+
+
+def write_corpus(out_dir: str, n_docs: int, seed: int = 42, **kw) -> dict[str, str]:
+    """Write the three tables as parquet; returns {name: path}.
+
+    Idempotent: skips generation when all three files already exist (the
+    corpus is a pure function of (n_docs, seed, kw)).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    paths = {
+        name: os.path.join(out_dir, f"{name}.parquet")
+        for name in ("documents", "media_store", "golden_spans")
+    }
+    if all(os.path.exists(p) for p in paths.values()):
+        return paths
+    docs, media, golden = gen_corpus(n_docs, seed=seed, **kw)
+    pq.write_table(docs, paths["documents"])
+    pq.write_table(media, paths["media_store"])
+    pq.write_table(golden, paths["golden_spans"])
+    return paths

@@ -1,0 +1,89 @@
+"""Golden end-to-end test: span-sequence equality (BASELINE.json gate).
+
+The pipeline output must equal `golden_spans` exactly — (kind, text,
+media_ref, order) per document — mirroring the reference's ordered
+`*_result.json` contract (`/root/reference/src/library/engine_paddle/
+main.py:274-283`).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ms_ocr_spark.extraction.pipeline import extract_documents, explode_spans
+
+
+def _load(spark, corpus_dir):
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    media = spark.read.parquet(f"{corpus_dir}/media_store.parquet")
+    golden = spark.read.parquet(f"{corpus_dir}/golden_spans.parquet")
+    return docs, media, golden
+
+
+def _assert_spans_equal(result, golden):
+    """Exact span-sequence equality via anti-join in both directions."""
+    r = result.select("doc_id", F.to_json("spans").alias("js"))
+    g = golden.select("doc_id", F.to_json("spans").alias("js"))
+    assert r.count() == g.count()
+    mismatches = g.join(r, ["doc_id", "js"], "left_anti")
+    rows = mismatches.limit(3).collect()
+    assert not rows, f"span mismatch for {[r2['doc_id'] for r2 in rows]}"
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        {},
+        {"broadcast_media": False},
+        {"salt_partitions": 16},
+        {"two_level_regroup": True, "salt_partitions": 8},
+    ],
+    ids=["default", "sortmerge", "salted", "two_level"],
+)
+def test_golden_span_equality(spark, corpus_dir, kwargs):
+    docs, media, golden = _load(spark, corpus_dir)
+    result = extract_documents(docs, media, **kwargs)
+    _assert_spans_equal(result, golden)
+
+
+def test_output_schema_matches_input_shape(spark, corpus_dir):
+    docs, media, _ = _load(spark, corpus_dir)
+    out = extract_documents(docs, media)
+    assert [f.name for f in out.schema["spans"].dataType.elementType.fields] == [
+        "kind",
+        "text",
+        "media_ref",
+        "offset",
+    ]
+
+
+def test_restitch_is_permutation_invariant(spark, corpus_dir):
+    """Property (SURVEY.md §5 item 4): shuffling span order inside the input
+    array does not change the re-stitched output (offset is the only key)."""
+    docs, media, golden = _load(spark, corpus_dir)
+    shuffled = docs.select(
+        "doc_id",
+        F.expr(
+            "array_sort(spans, (a, b) -> CASE WHEN hash(a.offset) < hash(b.offset)"
+            " THEN -1 ELSE 1 END)"
+        ).alias("spans"),
+    )
+    result = extract_documents(shuffled, media)
+    _assert_spans_equal(result, golden)
+
+
+def test_explode_spans_row_count(spark, corpus_dir):
+    docs, _, _ = _load(spark, corpus_dir)
+    n_spans = docs.select(F.sum(F.size("spans"))).collect()[0][0]
+    assert explode_spans(docs).count() == n_spans
+
+
+def test_keep_empty_docs(spark, corpus_dir):
+    docs, media, _ = _load(spark, corpus_dir)
+    empty = spark.createDataFrame([("doc-empty", [])], docs.schema)
+    both = empty.unionByName(docs.limit(2))
+    assert extract_documents(both, media).filter(F.col("doc_id") == "doc-empty").count() == 0
+    kept = extract_documents(both, media, keep_empty_docs=True)
+    row = kept.filter(F.col("doc_id") == "doc-empty").collect()
+    assert len(row) == 1 and row[0]["spans"] == []
