@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Measures
+  1. headline operator queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+  2. end-to-end extraction throughput (docs/sec) on the synthetic
+     interleaved corpus at TWO parallelism levels — local[N] and local[4N]
+     (sandbox proxy for N vs 4N executors, BASELINE.json north rule) —
+     each in a fresh subprocess/JVM so the runs are symmetric
+  3. scaling efficiency = dps(4N) / (4 * dps(N))
+
+JSON shape:
+  {"metric": "docs_per_sec_extraction", "value": <dps at 4N>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "extraction": {...}, ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "4000"))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "rollup_orders",
+    "pivot_event_counts",
+    "window_topk_orders",
+    "sessionize_events",
+    "merge_event_intervals",
+    "asof_last_click",
+    "overlap_join_boxes",
+    "containment_anti_boxes",
+    "table_grid_cells",
+    "grid_pivot_cells",
+    "dedup_exact_docs",
+    "minhash_signatures_docs",
+    "lsh_candidate_pairs_docs",
+    "ngram_jaccard_pairs",
+    "simhash_docs",
+    "ann_brute_force_topk",
+    "ann_lsh_topk",
+    "embedding_neardup_pairs",
+    "lang_id_docs",
+    "quality_score_docs",
+    "token_count_docs",
+    "fingerprint_docs",
+]
+
+
+def _corpus_dir() -> str:
+    """Deterministic bench corpus with 1% mega-doc skew (FIXTURES.md)."""
+    from ms_ocr_spark.sources.datagen import write_corpus
+
+    out = os.path.join(REPO, ".cache", f"bench_corpus_{BENCH_DOCS}")
+    write_corpus(out, n_docs=BENCH_DOCS, seed=42, skew_doc_pct=0.01, skew_mult=20)
+    return out
+
+
+def run_extraction(cores: int) -> dict:
+    """One extraction run at local[cores]; returns wall/docs/dps."""
+    from pyspark.sql import functions as F
+
+    from ms_ocr_spark.extraction.pipeline import extract_documents
+    from ms_ocr_spark.session import get_spark
+
+    corpus = _corpus_dir()
+    spark = get_spark(app=f"bench_extract_{cores}", cores=cores)
+    docs = spark.read.parquet(f"{corpus}/documents.parquet")
+    media = spark.read.parquet(f"{corpus}/media_store.parquet")
+    n_docs = docs.count()
+    t0 = time.time()
+    out = extract_documents(docs, media, salt_partitions=cores * 4)
+    n_out = out.select(F.sum(F.size("spans"))).collect()[0][0]
+    wall = time.time() - t0
+    spark.stop()
+    return {
+        "cores": cores,
+        "n_docs": int(n_docs),
+        "n_spans": int(n_out),
+        "wall_sec": round(wall, 3),
+        "docs_per_sec": round(n_docs / wall, 3),
+    }
+
+
+def _extract_subprocess(cores: int) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--mode", "extract"],
+        env=env,
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def run_headline_queries() -> tuple[dict[str, float], float]:
+    from ms_ocr_spark import queries as Q
+    from ms_ocr_spark.session import get_spark
+
+    spark = get_spark(app="bench_queries", cores=CPUS)
+    qs = Q.queries()
+    timings: dict[str, float] = {}
+    sf_guess = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    spark.stop()
+    try:
+        sf = float(sf_guess)
+    except ValueError:
+        sf = -1.0
+    return timings, sf
+
+
+def main() -> None:
+    if "--mode" in sys.argv and "extract" in sys.argv:
+        print(json.dumps(run_extraction(CPUS)))
+        return
+
+    _corpus_dir()  # generate once, outside the timed subprocess runs
+    timings, sf = run_headline_queries()
+
+    n_small = max(1, CPUS // 4)
+    small = _extract_subprocess(n_small)
+    big = _extract_subprocess(CPUS)
+    eff = big["docs_per_sec"] / (4 * small["docs_per_sec"])
+
+    result = {
+        "metric": "docs_per_sec_extraction",
+        "value": big["docs_per_sec"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "extraction": {
+            f"local[{n_small}]": small,
+            f"local[{CPUS}]": big,
+            "scaling_efficiency_N_to_4N": round(eff, 3),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

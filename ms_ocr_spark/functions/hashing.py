@@ -29,3 +29,19 @@ def md5_long_sql(expr: str, salt: str | None = None) -> str:
     """DuckDB twin of md5_long (expr is a SQL string expression)."""
     inner = f"concat('{salt}:', {expr})" if salt is not None else expr
     return f"CAST(concat('0x', substr(md5({inner}), 1, 15)) AS BIGINT)"
+
+
+def plane_weights(n_planes: int, dim: int) -> list[list[float]]:
+    """±1.0 random-hyperplane weights from md5 parity — computed once on
+    the driver and embedded as literals in BOTH the Spark plan and the
+    DuckDB oracle (so bucket assignment is engine-independent)."""
+    import hashlib
+
+    out = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"plane:{p}:{d}".encode()).hexdigest()[:2], 16)
+            row.append(1.0 if h & 1 else -1.0)
+        out.append(row)
+    return out

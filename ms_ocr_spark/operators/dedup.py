@@ -1,0 +1,182 @@
+"""Deduplication suite for large-scale training-data pipelines.
+
+Exact (hash groupBy), MinHash+LSH (shingle -> minhash -> band -> bucket
+join), SimHash, n-gram Jaccard — all pure DataFrame ops on md5-derived
+integers (functions/hashing.py) so every stage has a bit-identical DuckDB
+oracle.  No reference counterpart (the reference dedups boxes, not docs —
+SURVEY.md §2.2 P7); included per the engine's training-data mandate.
+
+Scale notes:
+  * exact: one groupBy on the content hash — map-side partial agg makes
+    the shuffle proportional to distinct keys.
+  * minhash: explode(shingles) dominates; the band join only moves
+    (doc_id, band_key) pairs.  Bucket skew (a viral shingle set) is
+    bounded because keys are full 4-minhash band signatures.
+  * simhash: one explode + one groupBy; signatures join on equality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ms_ocr_spark.functions.hashing import md5_long
+
+TOKEN_PATTERN = "\\s+"
+
+
+def tokens_col(text_col: str = "text"):
+    """Lowercased whitespace tokens, empties removed."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), TOKEN_PATTERN), lambda t: t != ""
+    )
+
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """(id, shingle) rows of word n-grams (distinct per doc)."""
+    toks = df.select(id_col, tokens_col(text_col).alias("t"))
+    sh = toks.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("t") - n, F.lit(-1))),
+                lambda i: F.concat_ws(" ", F.slice(F.col("t"), i + 1, n)),
+            )
+        ).alias("shingle"),
+    )
+    return sh.distinct()
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup on md5(text): keeper = min(id), n_dups per cluster."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keeper"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, salt, minhash) — min over md5-salted shingle hashes.
+
+    Docs with fewer than shingle_n tokens have no shingles and drop out
+    (standard minhash behavior).
+    """
+    sh = shingles(df, id_col, text_col, shingle_n)
+    salted = sh.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("salt"),
+        "shingle",
+    ).select(
+        id_col,
+        "salt",
+        md5_long(F.concat(F.col("salt").cast("string"), F.lit(":"), F.col("shingle"))).alias("h"),
+    )
+    return salted.groupBy(id_col, "salt").agg(F.min("h").alias("minhash"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Band the signature, bucket-join: pairs sharing any full band.
+
+    Band key = comma-joined minhashes in salt order (deterministic; the
+    oracle builds the identical string).
+    """
+    banded = signatures.withColumn("band", (F.col("salt") / rows_per_band).cast("int"))
+    keys = banded.groupBy(id_col, "band").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("salt", "minhash"))),
+                lambda s: s["minhash"].cast("string"),
+            ),
+        ).alias("band_key")
+    )
+    a = keys.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    b = keys.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs via distinct-shingle counts.
+
+    jaccard = |A ∩ B| / |A ∪ B| computed from group sizes (integer math
+    until the final division).
+    """
+    sh = shingles(df, id_col, text_col, shingle_n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a_sh = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b_sh = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        pairs.join(a_sh, "id_a")
+        .join(b_sh, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+) -> DataFrame:
+    """Per-doc SimHash over token md5-hashes (bit b set when the sum of
+    ±1 votes across tokens is positive).  Token multiplicity counts."""
+    toks = df.select(id_col, F.explode(tokens_col(text_col)).alias("tok"))
+    h = toks.select(id_col, md5_long(F.col("tok")).alias("h"))
+    votes = h.select(
+        id_col,
+        *[
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+            .alias(f"b{b}")
+            for b in range(bits)
+        ],
+    )
+    agg = votes.groupBy(id_col).agg(
+        *[F.sum(f"b{b}").alias(f"s{b}") for b in range(bits)]
+    )
+    sim = agg.select(
+        id_col,
+        sum(
+            [
+                F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+                for b in range(bits)
+            ],
+            F.lit(0),
+        ).alias("simhash"),
+    )
+    return sim

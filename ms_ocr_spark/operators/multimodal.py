@@ -1,0 +1,171 @@
+"""Multimodal column operators: opaque binary payloads + typed metadata.
+
+Images are REAL here (the engine ships its own PNG gray8 codec), so
+decode / resize / feature-extract run genuinely inside `mapInPandas`.
+Audio decode and video frame-sampling require codecs this container lacks:
+the Spark-side plumbing (schema, batching, partitioning) is real and
+tested, while the codec call is a deterministic fake clearly marked STUB.
+
+Pattern notes (100 TB): mapInPandas streams Arrow batches through one
+Python worker per core — payload bytes never round-trip the driver;
+metadata-only queries never deserialize payloads (column pruning).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("ink_ratio", T.DoubleType()),
+        T.StructField("mean_intensity", T.DoubleType()),
+        T.StructField("format", T.StringType()),
+    ]
+)
+
+
+def sniff_format(buf: bytes | None) -> str:
+    """Magic-byte MIME sniff (reference S2, `/root/reference/src/
+    HelperSrc.ts:184-406`) for the formats the reference allows."""
+    if not buf or len(buf) < 8:
+        return "unknown"
+    if buf[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if buf[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if buf[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
+    return "unknown"
+
+
+def image_metadata(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Decode payloads (real PNG decode) -> per-image metadata rows."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ms_ocr_spark.extraction.ocr.png import decode_gray
+
+        for pdf in batches:
+            rows = []
+            for ref, buf in zip(pdf["media_ref"], pdf[payload_col]):
+                fmt = sniff_format(bytes(buf) if buf is not None else None)
+                if fmt == "png":
+                    img = decode_gray(bytes(buf))
+                    rows.append(
+                        (
+                            ref,
+                            img.shape[1],
+                            img.shape[0],
+                            float((img < 128).mean()),
+                            float(img.mean()),
+                            fmt,
+                        )
+                    )
+                else:
+                    rows.append((ref, None, None, None, None, fmt))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in IMAGE_META_SCHEMA.fields]
+            )
+
+    return media.select("media_ref", payload_col).mapInPandas(
+        _extract, schema=IMAGE_META_SCHEMA
+    )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def image_resize(
+    media: DataFrame, max_side: int = 2024, payload_col: str = "payload"
+) -> DataFrame:
+    """Cap the long side at `max_side` (reference K1 resize,
+    `/root/reference/src/library/image_processor/main.py:145-187`);
+    nearest-neighbor, re-encoded PNG."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ms_ocr_spark.extraction.ocr.png import decode_gray, encode_gray
+
+        for pdf in batches:
+            rows = []
+            for ref, buf in zip(pdf["media_ref"], pdf[payload_col]):
+                img = decode_gray(bytes(buf))
+                h, w = img.shape
+                long_side = max(h, w)
+                if long_side > max_side:
+                    s = max_side / long_side
+                    nh, nw = max(1, int(h * s)), max(1, int(w * s))
+                    ys = (np.arange(nh) * h / nh).astype(np.int64)
+                    xs = (np.arange(nw) * w / nw).astype(np.int64)
+                    img = img[np.ix_(ys, xs)]
+                rows.append((ref, encode_gray(img), img.shape[1], img.shape[0]))
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA.fields])
+
+    return media.select("media_ref", payload_col).mapInPandas(
+        _resize, schema=RESIZE_SCHEMA
+    )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_sha", T.StringType()),
+    ]
+)
+
+
+def video_frame_sample(
+    media: DataFrame, every_n: int = 10, payload_col: str = "payload"
+) -> DataFrame:
+    """STUB: video frame sampling — no video codec in this container.
+
+    The Spark plumbing (mapInPandas fan-out: one input row -> many frame
+    rows) is real; the "decode" is a deterministic fake that derives
+    pseudo-frames from the payload hash.  Swap `_fake_frames` for a real
+    codec call in production.
+    """
+
+    def _fake_frames(buf: bytes, every_n: int) -> list[tuple[int, str]]:
+        import hashlib
+
+        n_frames = (len(buf) % 91) + 10  # deterministic fake frame count
+        out = []
+        for idx in range(0, n_frames, every_n):
+            out.append(
+                (idx, hashlib.md5(buf[:64] + str(idx).encode()).hexdigest())
+            )
+        return out
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, buf in zip(pdf["media_ref"], pdf[payload_col]):
+                for idx, sha in _fake_frames(bytes(buf), every_n):
+                    rows.append((ref, idx, sha))
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return media.select("media_ref", payload_col).mapInPandas(
+        _sample, schema=FRAME_SCHEMA
+    )
+
+
+def audio_features(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """STUB: audio feature extraction — no audio codec in this container."""
+    raise NotImplementedError(
+        "audio decode requires a codec not present in this container; "
+        "the mapInPandas pattern mirrors video_frame_sample"
+    )

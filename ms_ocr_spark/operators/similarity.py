@@ -1,0 +1,160 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline; random-hyperplane LSH
+bucketing as the scale path (buckets shrink the candidate set ~2^planes).
+Dot products run as sequential left-folds (zip_with + aggregate) so the
+floating-point result is bit-identical to the DuckDB oracle's
+list_reduce(list_transform(...)) — same operation order.
+
+Scale notes: brute force is a broadcast-join of the (small) query set
+against the corpus — O(Q*N) but embarrassingly parallel with no shuffle
+beyond the final per-query top-k; LSH replaces the N side with one
+bucket's worth of rows via an equi-join on the bucket key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ms_ocr_spark.functions.hashing import plane_weights
+
+from .windows import top_k_per_group
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic FP order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: query ⨯ corpus -> per-query row_number <= k.
+
+    Queries are broadcast (the small side); ties broken by neighbor id so
+    the result set is fully deterministic.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+    )
+    return top_k_per_group(
+        scored.select("query_id", "neighbor_id", "sim"),
+        ["query_id"],
+        [F.col("sim").desc(), F.col("neighbor_id").asc()],
+        k,
+    )
+
+
+def lsh_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
+    """Bucket id = packed sign bits of n_planes ±1 random hyperplanes.
+
+    Weights come from `plane_weights` (md5 parity, computed once on the
+    driver, embedded as array literals) so the DuckDB oracle assigns the
+    exact same buckets.  Each plane's projection is a sequential fold —
+    deterministic FP order.
+    """
+    weights = plane_weights(n_planes, dim)
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        w = F.array(*[F.lit(v) for v in weights[p]])
+        proj = F.aggregate(
+            F.zip_with(vec, w, lambda x, wv: x.cast("double") * wv),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Approximate top-k: only candidates in the query's LSH bucket are
+    scored.  Equi-join on bucket -> per-query top-k; recall trades off
+    against 2^n_planes."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        lsh_bucket(F.col(vec_col), n_planes).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        lsh_bucket(F.col(vec_col), n_planes).alias("bucket"),
+    )
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+    )
+    return top_k_per_group(
+        scored.select("query_id", "neighbor_id", "sim"),
+        ["query_id"],
+        [F.col("sim").desc(), F.col("neighbor_id").asc()],
+        k,
+    )
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine >= threshold, LSH-bucket prefiltered
+    (pairs in different buckets are never compared — documented recall
+    tradeoff, same bucketing as the oracle)."""
+    c = corpus.select(
+        id_col, vec_col, lsh_bucket(F.col(vec_col), n_planes).alias("bucket")
+    )
+    a = c.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "bucket"
+    )
+    b = c.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", F.round(cosine(F.col("v_a"), F.col("v_b")), 6))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )

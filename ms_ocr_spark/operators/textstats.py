@@ -1,0 +1,141 @@
+"""Text analysis operators: language-ID, quality scoring, token counts,
+document fingerprinting.
+
+All are built-in-function column expressions (JVM-side, codegen'd) with
+exact DuckDB oracle twins; nothing here touches Python at runtime.
+The NFKC normalizer (reference `_checkMatch`, `/root/reference/src/
+library/engine_realtime/main.py:35-53`) is the one genuine pandas UDF —
+Unicode normalization has no Spark builtin.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .dedup import tokens_col
+
+# tiny per-language stopword inventories for the n-gram/stopword heuristic;
+# ASCII-only so the same literals work verbatim in the DuckDB oracle.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "de", "et", "un", "en", "est", "que"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "den"],
+}
+LANG_ORDER = ["en", "es", "fr", "de"]  # deterministic tie-break order
+
+
+def lang_scores(text_col: str = "text") -> list[Column]:
+    """Stopword-hit count per language (token exact-match)."""
+    toks = tokens_col(text_col)
+    cols = []
+    for lang in LANG_ORDER:
+        sw = LANG_STOPWORDS[lang]
+        cols.append(
+            F.size(F.filter(toks, lambda t: t.isin(sw))).alias(f"score_{lang}")
+        )
+    return cols
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Argmax language with 'und' when no stopword hits; first-in-order wins ties."""
+    scored = df.select(id_col, *lang_scores(text_col))
+    # fold in declared order with strict greater-than: first language wins ties
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang in LANG_ORDER:
+        s = F.col(f"score_{lang}")
+        new = s > best_score
+        best = F.when(new, F.lit(lang)).otherwise(best)
+        best_score = F.when(new, s).otherwise(best_score)
+    return scored.select(
+        id_col, best.alias("lang_pred"), best_score.alias("lang_score")
+    )
+
+
+def quality_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Length/punctuation/stopword-ratio quality features + composite score.
+
+    score = min(n_tokens/100, 1) * 0.4
+          + (1 - min(punct_ratio*10, 1)) * 0.3
+          + min(stopword_ratio*5, 1)   * 0.3           (rounded to 6 dp)
+    """
+    toks = tokens_col(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(text_col)
+    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), "[.,;:!?]", ""))
+    all_sw = sorted({w for v in LANG_STOPWORDS.values() for w in v})
+    n_sw = F.size(F.filter(toks, lambda t: t.isin(all_sw)))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    sw_ratio = F.when(n_tokens > 0, n_sw / n_tokens).otherwise(F.lit(0.0))
+    score = (
+        F.least(n_tokens / 100.0, F.lit(1.0)) * 0.4
+        + (1 - F.least(punct_ratio * 10, F.lit(1.0))) * 0.3
+        + F.least(sw_ratio * 5, F.lit(1.0)) * 0.3
+    )
+    return df.select(
+        id_col,
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars_m"),
+        n_punct.alias("n_punct"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(sw_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def token_count(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword proxy: ceil(chars_no_space/4)."""
+    toks = tokens_col(text_col)
+    chars_ns = F.length(F.regexp_replace(F.col(text_col), "\\s", ""))
+    return df.select(
+        id_col,
+        F.size(toks).alias("n_tokens"),
+        F.ceil(chars_ns / 4).cast("long").alias("n_subword_est"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace-normalized md5 content fingerprint (+ 60-bit int form)."""
+    norm = F.trim(F.regexp_replace(F.col(text_col), "\\s+", " "))
+    return df.select(
+        id_col,
+        F.md5(norm).alias("fp_md5"),
+        F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("long").alias("fp_int"),
+    )
+
+
+@F.pandas_udf(T.StringType())
+def nfkc_norm(s: pd.Series) -> pd.Series:
+    """NFKC normalization (reference F1, `engine_realtime/main.py:39-40`)."""
+    import unicodedata
+
+    return s.map(
+        lambda v: unicodedata.normalize("NFKC", v) if v is not None else None
+    )
+
+
+def search_match(
+    df: DataFrame,
+    text_col: str,
+    needle: str,
+    case_insensitive: bool = True,
+    strip_spaces: bool = True,
+    exact: bool = False,
+) -> DataFrame:
+    """Reference search-match predicate (P11, `engine_realtime/main.py:35-53`):
+    NFKC -> optional casefold -> optional space strip -> contains/equals."""
+    c = nfkc_norm(F.col(text_col))
+    n = F.lit(needle)
+    if case_insensitive:
+        c, n = F.lower(c), F.lower(n)
+    if strip_spaces:
+        c = F.regexp_replace(c, " ", "")
+        n = F.regexp_replace(n, " ", "")
+    flag = (c == n) if exact else F.contains(c, n)
+    return df.withColumn("is_match", F.coalesce(flag, F.lit(False)))

@@ -1,0 +1,913 @@
+"""Named queries + DuckDB oracle twins (the driver-facing operator surface).
+
+Every operator family from SURVEY.md §2 (plus the training-data suite) is
+exposed as a (spark_fn, oracle_sql) pair over the driver's parquet tables.
+Cross-engine determinism rules used throughout:
+
+  * money math in DECIMAL (exact, associative), cast to double after ROUND
+  * timestamps as epoch microseconds (unix_micros / epoch_us)
+  * md5-derived integers for all hashing (functions/hashing.py)
+  * float folds in explicit sequential order (aggregate / list_reduce)
+  * every computed column aliased identically on both sides
+  * int-width: Spark counts/sizes cast to long to match DuckDB BIGINT
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ms_ocr_spark.functions.hashing import md5_long_sql, plane_weights
+from ms_ocr_spark.operators import dedup, similarity, textstats
+from ms_ocr_spark.operators.boxes import (
+    containment_anti,
+    dedup_overlap_keep_first,
+    grid_pivot,
+    overlap_join,
+    table_grid,
+)
+from ms_ocr_spark.operators.windows import gap_cluster, merge_intervals, top_k_per_group
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+_REGISTRY: list[tuple[str, QueryFn, str | None]] = []
+
+
+def _register(name: str, sql: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY.append((name, fn, sql))
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# 1. Relational core (scan/filter/agg/join/window — SURVEY.md §2.1-2.5)
+# --------------------------------------------------------------------------
+
+_DEC = "DECIMAL(18,4)"
+
+
+@_register(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(ROUND(SUM(CAST(l_quantity AS {_DEC})), 2) AS DOUBLE) AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS {_DEC})), 2) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS {_DEC}) * CAST(1 - l_discount AS DECIMAL(8,6))), 2) AS DOUBLE) AS sum_disc_price,
+           ROUND(CAST(SUM(CAST(l_quantity AS {_DEC})) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary (scan -> filter -> hash agg).
+
+    Decimal sums keep FP exact/associative so the shuffle's combine order
+    can't perturb the value vs the oracle.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast(_DEC)
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc1 = (F.lit(1) - F.col("l_discount")).cast("decimal(8,6)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(qty), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(price), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(price * disc1), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(qty).cast("double") / F.count(F.lit(1)), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "q3_top_orders",
+    f"""
+    SELECT o.o_orderkey,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS {_DEC}) * CAST(1 - l.l_discount AS DECIMAL(8,6))), 2) AS DOUBLE) AS revenue,
+           CAST(epoch_us(o.o_orderdate) AS BIGINT) AS orderdate_us
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o.o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style 3-way join + top-10 (broadcast the dimension side)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(8,6)")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("orderdate_us"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@_register(
+    "rollup_orders",
+    f"""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(ROUND(SUM(CAST(o_totalprice AS {_DEC})), 2) AS DOUBLE) AS sum_price,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (grouping-sets family — free in Spark,
+    absent in the reference; SURVEY.md §2.4 note)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast(_DEC)), 2)
+            .cast("double")
+            .alias("sum_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@_register(
+    "pivot_event_counts",
+    """
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (A4 analog) as conditional aggregation — fixed column set keeps
+    the plan a single hash agg (no distinct-values pre-pass)."""
+    ev = _t(spark, sf_dir, "events")
+    aggs = [
+        F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+        for t in ("click", "error", "purchase", "signup", "view")
+    ]
+    return ev.groupBy("user_id").agg(*aggs)
+
+
+@_register(
+    "window_topk_orders",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer (W5/W6: deterministic top-k)."""
+    return top_k_per_group(
+        _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        3,
+    )
+
+
+@_register(
+    "sessionize_events",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, ts_us,
+             CASE WHEN ts_us - lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w <= 1800000000 THEN 0 ELSE 1 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ), clustered AS (
+      SELECT user_id, event_id, ts_us,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM flagged)
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+    FROM clustered GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-min-gap sessionization (A2 `_clusterPosition` as a window scan)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us")
+    )
+    # event_id in the ordering makes ties deterministic cross-engine
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    is_new = F.when(gap.isNull() | (gap <= 1_800_000_000), F.lit(0)).otherwise(F.lit(1))
+    clustered = ev.withColumn(
+        "session_id",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return clustered.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+    )
+
+
+@_register(
+    "merge_event_intervals",
+    """
+    WITH iv AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) AS BIGINT) AS s,
+             CAST(epoch_us(ts) AS BIGINT) + CAST(floor(value) AS BIGINT) * 1000000 AS e
+      FROM events
+    ), flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                   OR s <= max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 0 ELSE 1 END AS is_new
+      FROM iv
+    ), grp AS (
+      SELECT user_id, s, e, SUM(is_new) OVER (PARTITION BY user_id ORDER BY s, e
+             ROWS UNBOUNDED PRECEDING) AS g
+      FROM flagged)
+    SELECT user_id, MIN(s) AS start_us, MAX(e) AS end_us, COUNT(*) AS n_merged
+    FROM grp GROUP BY user_id, g
+    """,
+)
+def merge_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval merge (W2 in-row box merge, time domain): event spans
+    [ts, ts + floor(value) seconds] merged per user."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + F.floor(F.col("value")).cast("long") * F.lit(1_000_000)
+        ).alias("e"),
+    )
+    return merge_intervals(ev, ["user_id"], "s", "e").select(
+        "user_id",
+        F.col("s").alias("start_us"),
+        F.col("e").alias("end_us"),
+        "n_merged",
+    )
+
+
+@_register(
+    "asof_last_click",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+             CASE WHEN event_type = 'click' THEN CAST(epoch_us(ts) AS BIGINT) END AS click_us
+      FROM events
+    ), w AS (
+      SELECT user_id, event_id, event_type, ts_us,
+             last_value(click_us IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_us
+      FROM e)
+    SELECT event_id, user_id, ts_us AS purchase_us, last_click_us
+    FROM w WHERE event_type = 'purchase'
+    """,
+)
+def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (purchase -> most recent prior click per user) expressed
+    as a single window scan over the unioned stream — no join at all, so
+    nothing to skew.  Strictly-prior via 1 PRECEDING frame end."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    ).withColumn(
+        "click_us", F.when(F.col("event_type") == "click", F.col("ts_us"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = ev.withColumn("last_click_us", F.last("click_us", ignorenulls=True).over(w))
+    return out.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts_us").alias("purchase_us"), "last_click_us"
+    )
+
+
+@_register(
+    "set_except_users",
+    """
+    SELECT c_custkey AS key FROM customer
+    EXCEPT
+    SELECT user_id AS key FROM events
+    """,
+)
+def set_except_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (§2.6): customers who never produced an event."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key"))
+    e = _t(spark, sf_dir, "events").select(F.col("user_id").alias("key"))
+    return c.exceptAll(e.distinct()).distinct()
+
+
+@_register(
+    "json_props_extract",
+    """
+    SELECT event_id,
+           TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS k_val
+    FROM events
+    """,
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar JSON-ish extraction (F11) via regexp — engine-neutral."""
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.regexp_extract(F.col("props"), '"k":\\s*(\\d+)', 1)
+        .cast("long")
+        .alias("k_val"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 2. Spatial box operators (J1/J2/P6/P7, A2-A5 grid — SURVEY.md §2.2-2.4)
+#    Boxes are derived deterministically from TPC-H columns with integer
+#    arithmetic so both engines build the identical box set.
+# --------------------------------------------------------------------------
+
+_CELLS_SQL = """
+      SELECT l_orderkey % 37 AS doc_id,
+             l_orderkey * 10 + l_linenumber AS box_id,
+             CAST((l_partkey % 20) * 10 AS BIGINT) AS x1,
+             CAST((l_suppkey % 10) * 10 AS BIGINT) AS y1,
+             CAST((l_partkey % 20) * 10 + 30 AS BIGINT) AS x2,
+             CAST((l_suppkey % 10) * 10 + 20 AS BIGINT) AS y2
+      FROM lineitem WHERE l_linenumber = 1
+"""
+_TEXTS_SQL = """
+      SELECT l_orderkey % 37 AS doc_id,
+             l_orderkey * 10 + l_linenumber AS box_id,
+             CAST((l_partkey % 20) * 10 + CAST(floor(l_quantity) AS BIGINT) % 15 AS BIGINT) AS x1,
+             CAST((l_suppkey % 10) * 10 + l_orderkey % 7 AS BIGINT) AS y1,
+             CAST((l_partkey % 20) * 10 + CAST(floor(l_quantity) AS BIGINT) % 15 + 12 AS BIGINT) AS x2,
+             CAST((l_suppkey % 10) * 10 + l_orderkey % 7 + 8 AS BIGINT) AS y2
+      FROM lineitem WHERE l_linenumber >= 2
+"""
+
+
+def _cells_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    return li.select(
+        (F.col("l_orderkey") % 37).alias("doc_id"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("box_id"),
+        ((F.col("l_partkey") % 20) * 10).cast("long").alias("x1"),
+        ((F.col("l_suppkey") % 10) * 10).cast("long").alias("y1"),
+        ((F.col("l_partkey") % 20) * 10 + 30).cast("long").alias("x2"),
+        ((F.col("l_suppkey") % 10) * 10 + 20).cast("long").alias("y2"),
+    )
+
+
+def _texts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") >= 2)
+    qx = F.floor(F.col("l_quantity")).cast("long") % 15
+    return li.select(
+        (F.col("l_orderkey") % 37).alias("doc_id"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("box_id"),
+        ((F.col("l_partkey") % 20) * 10 + qx).cast("long").alias("x1"),
+        ((F.col("l_suppkey") % 10) * 10 + F.col("l_orderkey") % 7).cast("long").alias("y1"),
+        ((F.col("l_partkey") % 20) * 10 + qx + 12).cast("long").alias("x2"),
+        ((F.col("l_suppkey") % 10) * 10 + F.col("l_orderkey") % 7 + 8).cast("long").alias("y2"),
+    )
+
+
+@_register(
+    "overlap_join_boxes",
+    f"""
+    WITH cells AS ({_CELLS_SQL}), texts AS ({_TEXTS_SQL})
+    SELECT c.doc_id, c.box_id AS c_box_id, t.box_id AS t_box_id,
+           greatest(0, least(c.x2, t.x2) - greatest(c.x1, t.x1))
+             * greatest(0, least(c.y2, t.y2) - greatest(c.y1, t.y1)) AS overlap_area
+    FROM cells c JOIN texts t ON c.doc_id = t.doc_id
+    WHERE greatest(0, least(c.x2, t.x2) - greatest(c.x1, t.x1))
+          * greatest(0, least(c.y2, t.y2) - greatest(c.y1, t.y1)) * 2
+          > (t.x2 - t.x1) * (t.y2 - t.y1)
+    """,
+)
+def overlap_join_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: text ⋈ cell overlap > 50% of text area (`engine_paddle/main.py:
+    33-54,117-140`), equi-keyed on doc_id + integer range predicate."""
+    joined = overlap_join(_cells_df(spark, sf_dir), _texts_df(spark, sf_dir))
+    return joined.select("doc_id", "c_box_id", "t_box_id", "overlap_area")
+
+
+@_register(
+    "containment_anti_boxes",
+    f"""
+    WITH boxes AS ({_CELLS_SQL})
+    SELECT a.* FROM boxes a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM boxes b
+      WHERE b.doc_id = a.doc_id AND b.box_id != a.box_id
+        AND a.x1 >= b.x1 AND a.y1 >= b.y1 AND a.x2 <= b.x2 AND a.y2 <= b.y2)
+    """,
+)
+def containment_anti_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/J2: drop boxes fully contained in another of the same doc
+    (`detection_craft/main.py:98-111`) as a left-anti self-join."""
+    return containment_anti(_cells_df(spark, sf_dir))
+
+
+_GRID_CELLS_SQL = """
+      SELECT l_orderkey % 37 AS doc_id,
+             l_orderkey * 10 + l_linenumber AS box_id,
+             CAST((l_partkey % 6) * 60 + CAST(floor(l_quantity) AS BIGINT) % 5 AS BIGINT) AS x1,
+             CAST((l_suppkey % 5) * 40 + l_orderkey % 4 AS BIGINT) AS y1,
+             CAST((l_partkey % 6) * 60 + CAST(floor(l_quantity) AS BIGINT) % 5 + 40 AS BIGINT) AS x2,
+             CAST((l_suppkey % 5) * 40 + l_orderkey % 4 + 20 AS BIGINT) AS y2,
+             CAST(l_partkey AS VARCHAR) AS text
+      FROM lineitem
+"""
+
+
+def _grid_cells_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    qx = F.floor(F.col("l_quantity")).cast("long") % 5
+    return li.select(
+        (F.col("l_orderkey") % 37).alias("doc_id"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("box_id"),
+        ((F.col("l_partkey") % 6) * 60 + qx).cast("long").alias("x1"),
+        ((F.col("l_suppkey") % 5) * 40 + F.col("l_orderkey") % 4).cast("long").alias("y1"),
+        ((F.col("l_partkey") % 6) * 60 + qx + 40).cast("long").alias("x2"),
+        ((F.col("l_suppkey") % 5) * 40 + F.col("l_orderkey") % 4 + 20).cast("long").alias("y2"),
+        F.col("l_partkey").cast("string").alias("text"),
+    )
+
+
+_GRID_CLUSTER_SQL = f"""
+    WITH cells AS ({_GRID_CELLS_SQL}),
+    wc AS (SELECT *, (y1 + y2) / 2.0 AS yc, (x1 + x2) / 2.0 AS xc FROM cells),
+    rf AS (SELECT *, CASE WHEN yc - lag(yc) OVER (PARTITION BY doc_id ORDER BY yc, box_id) IS NULL
+                       OR yc - lag(yc) OVER (PARTITION BY doc_id ORDER BY yc, box_id) <= 10
+                      THEN 0 ELSE 1 END AS rnew FROM wc),
+    rc AS (SELECT *, CAST(SUM(rnew) OVER (PARTITION BY doc_id ORDER BY yc, box_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS row_idx FROM rf),
+    cf AS (SELECT *, CASE WHEN xc - lag(xc) OVER (PARTITION BY doc_id ORDER BY xc, box_id) IS NULL
+                       OR xc - lag(xc) OVER (PARTITION BY doc_id ORDER BY xc, box_id) <= 15
+                      THEN 0 ELSE 1 END AS cnew FROM rc),
+    cc AS (SELECT *, CAST(SUM(cnew) OVER (PARTITION BY doc_id ORDER BY xc, box_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS col_idx FROM cf)
+"""
+
+
+@_register(
+    "table_grid_cells",
+    _GRID_CLUSTER_SQL
+    + """
+    SELECT doc_id, box_id, row_idx, col_idx,
+           ROUND(AVG(yc) OVER (PARTITION BY doc_id, row_idx), 4) AS row_center,
+           ROUND(AVG(xc) OVER (PARTITION BY doc_id, col_idx), 4) AS col_center
+    FROM cc
+    """,
+)
+def table_grid_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2+A3: gap-cluster cells into grid rows/cols + centroids
+    (`data_to_table/main.py:246-272`, tolerances 10/15 from :294-296)."""
+    grid = table_grid(_grid_cells_df(spark, sf_dir))
+    return grid.select(
+        "doc_id",
+        "box_id",
+        "row_idx",
+        "col_idx",
+        F.round("row_center", 4).alias("row_center"),
+        F.round("col_center", 4).alias("col_center"),
+    )
+
+
+@_register(
+    "grid_pivot_cells",
+    _GRID_CLUSTER_SQL
+    + """
+    SELECT doc_id, row_idx, col_idx,
+           string_agg(text, chr(10) ORDER BY box_id DESC, text DESC) AS cell_text,
+           COUNT(*) AS n_texts
+    FROM cc GROUP BY doc_id, row_idx, col_idx
+    """,
+)
+def grid_pivot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4+A5: dense grid pivot with REVERSED multi-hit concat
+    (`data_to_table/main.py:177-210,307`)."""
+    grid = table_grid(_grid_cells_df(spark, sf_dir))
+    return grid_pivot(grid)
+
+
+def dedup_boxes_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 `_filterOverlapBox` greedy keep-first dedup — order-dependent,
+    applyInPandas per doc; rows-only check (not SQL-expressible because the
+    keep-set evolves during the scan)."""
+    texts = _texts_df(spark, sf_dir)
+    return dedup_overlap_keep_first(texts, threshold=0.5)
+
+
+_REGISTRY.append(("dedup_boxes_keep_first", dedup_boxes_keep_first, None))
+
+
+# --------------------------------------------------------------------------
+# 3. Dedup suite (training-data mandate)
+# --------------------------------------------------------------------------
+
+_TOKS_SQL = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t != '')"
+_SHINGLES_SQL = f"""
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+           unnest(range(1, greatest(len(t) - 1, 1))) u(i)
+"""
+
+
+@_register(
+    "dedup_exact_docs",
+    """
+    SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper, COUNT(*) AS n_dups
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_exact(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "minhash_signatures_docs",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL})
+    SELECT doc_id, CAST(salt AS BIGINT) AS salt,
+           MIN({md5_long_sql("concat(CAST(salt AS VARCHAR), ':', shingle)")}) AS minhash
+    FROM sh, range(16) r(salt)
+    GROUP BY doc_id, salt
+    """,
+)
+def minhash_signatures_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = dedup.minhash_signatures(_t(spark, sf_dir, "documents"))
+    return sig.select("doc_id", F.col("salt").cast("long").alias("salt"), "minhash")
+
+
+_MINHASH_SQL = f"""
+    sh AS ({_SHINGLES_SQL}),
+    mh AS (
+      SELECT doc_id, CAST(salt AS BIGINT) AS salt,
+             MIN({md5_long_sql("concat(CAST(salt AS VARCHAR), ':', shingle)")}) AS minhash
+      FROM sh, range(16) r(salt) GROUP BY doc_id, salt),
+    bands AS (
+      SELECT doc_id, CAST(salt // 4 AS INT) AS band,
+             string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY salt) AS band_key
+      FROM mh GROUP BY doc_id, salt // 4),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id)
+"""
+
+
+@_register(
+    "lsh_candidate_pairs_docs",
+    f"WITH {_MINHASH_SQL} SELECT id_a, id_b FROM pairs",
+)
+def lsh_candidate_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = dedup.minhash_signatures(_t(spark, sf_dir, "documents"))
+    return dedup.lsh_candidate_pairs(sig)
+
+
+@_register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH {_MINHASH_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
+      FROM pairs p JOIN sh a ON a.doc_id = p.id_a
+                   JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+      GROUP BY p.id_a, p.id_b)
+    SELECT i.id_a, i.id_b, i.n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+           ROUND(i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter), 6) AS jaccard
+    FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+                 JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.5
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates verified by exact 3-gram Jaccard >= 0.5."""
+    docs = _t(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs)
+    pairs = dedup.lsh_candidate_pairs(sig)
+    out = dedup.jaccard_verify(pairs, docs, threshold=0.5)
+    return out.select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    h = md5_long_sql("tok")
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(bits)
+    )
+    packed = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
+    h AS (SELECT doc_id, {h} AS h FROM toks),
+    v AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM v
+    """
+
+
+@_register("simhash_docs", _simhash_sql())
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# 4. Similarity search (embeddings)
+# --------------------------------------------------------------------------
+
+_DOT_SQL = (
+    "list_reduce(list_transform(range(1, 65), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+)
+_NORM_SQL = (
+    "sqrt(list_reduce(list_transform(range(1, 65), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)), (x, y) -> x + y))"
+)
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return (
+        f"ROUND({_DOT_SQL.format(a=a, b=b)} / "
+        f"({_NORM_SQL.format(a=a)} * {_NORM_SQL.format(a=b)}), 6)"
+    )
+
+
+@_register(
+    "ann_brute_force_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings
+               WHERE vec_id % 100 = 0),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id, {_cosine_sql("q_vec", "c_vec")} AS sim
+      FROM q, c WHERE query_id != neighbor_id),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY sim DESC, neighbor_id) AS rn FROM scored)
+    SELECT query_id, neighbor_id, sim, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    return similarity.brute_force_topk(q, emb)
+
+
+def _lsh_bucket_sql(vec: str, n_planes: int = 8, dim: int = 64) -> str:
+    weights = plane_weights(n_planes, dim)
+    parts = []
+    for p in range(n_planes):
+        lit = "[" + ",".join(str(v) for v in weights[p]) + "]"
+        proj = (
+            f"list_reduce(list_transform(range(1, {dim + 1}), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * ({lit}::DOUBLE[])[i]), (x, y) -> x + y)"
+        )
+        parts.append(f"CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END")
+    return "(" + " + ".join(parts) + ")"
+
+
+@_register(
+    "ann_lsh_topk",
+    f"""
+    WITH b AS (SELECT vec_id, embedding, {_lsh_bucket_sql("embedding")} AS bucket
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS q_vec, bucket FROM b
+          WHERE vec_id % 100 = 0),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec, bucket FROM b),
+    scored AS (
+      SELECT query_id, neighbor_id, {_cosine_sql("q_vec", "c_vec")} AS sim
+      FROM q JOIN c USING (bucket) WHERE query_id != neighbor_id),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY sim DESC, neighbor_id) AS rn FROM scored)
+    SELECT query_id, neighbor_id, sim, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    return similarity.lsh_topk(q, emb)
+
+
+@_register(
+    "embedding_neardup_pairs",
+    f"""
+    WITH b AS (SELECT vec_id, embedding, {_lsh_bucket_sql("embedding")} AS bucket
+               FROM embeddings)
+    SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+           {_cosine_sql("a.embedding", "b2.embedding")} AS sim
+    FROM b a JOIN b b2 USING (bucket)
+    WHERE a.vec_id < b2.vec_id
+      AND {_cosine_sql("a.embedding", "b2.embedding")} >= 0.3
+    """,
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3
+    )
+
+
+# --------------------------------------------------------------------------
+# 5. Text analysis
+# --------------------------------------------------------------------------
+
+
+def _lang_scores_sql() -> str:
+    cols = []
+    for lang in textstats.LANG_ORDER:
+        sw = ", ".join(f"'{w}'" for w in textstats.LANG_STOPWORDS[lang])
+        cols.append(
+            f"CAST(len(list_filter({_TOKS_SQL}, t -> t IN ({sw}))) AS INT) AS score_{lang}"
+        )
+    return ", ".join(cols)
+
+
+def _lang_best_sql() -> tuple[str, str]:
+    # fold in LANG_ORDER with strict >, mirroring textstats.lang_id
+    best, score = "'und'", "0"
+    for lang in textstats.LANG_ORDER:
+        best = f"CASE WHEN score_{lang} > {score} THEN '{lang}' ELSE {best} END"
+        score = f"CASE WHEN score_{lang} > {score} THEN score_{lang} ELSE {score} END"
+    return best, score
+
+
+_LANG_BEST, _LANG_SCORE = _lang_best_sql()
+
+
+@_register(
+    "lang_id_docs",
+    f"""
+    WITH scored AS (SELECT doc_id, {_lang_scores_sql()} FROM documents)
+    SELECT doc_id, {_LANG_BEST} AS lang_pred, {_LANG_SCORE} AS lang_score
+    FROM scored
+    """,
+)
+def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = textstats.lang_id(_t(spark, sf_dir, "documents"))
+    return out.select("doc_id", "lang_pred", F.col("lang_score").cast("int").alias("lang_score"))
+
+
+_ALL_SW = sorted({w for v in textstats.LANG_STOPWORDS.values() for w in v})
+
+
+@_register(
+    "quality_score_docs",
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+             CAST(length(text) AS BIGINT) AS n_chars_m,
+             CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+             CAST(len(list_filter({_TOKS_SQL},
+                  t -> t IN ({", ".join(f"'{w}'" for w in _ALL_SW)}))) AS BIGINT) AS n_sw
+      FROM documents)
+    SELECT doc_id, n_tokens, n_chars_m, n_punct,
+           ROUND(CASE WHEN n_chars_m > 0 THEN n_punct * 1.0 / n_chars_m ELSE 0 END, 6) AS punct_ratio,
+           ROUND(CASE WHEN n_tokens > 0 THEN n_sw * 1.0 / n_tokens ELSE 0 END, 6) AS stopword_ratio,
+           ROUND(least(n_tokens / 100.0, 1.0) * 0.4
+                 + (1 - least((CASE WHEN n_chars_m > 0 THEN n_punct * 1.0 / n_chars_m ELSE 0 END) * 10, 1.0)) * 0.3
+                 + least((CASE WHEN n_tokens > 0 THEN n_sw * 1.0 / n_tokens ELSE 0 END) * 5, 1.0) * 0.3, 6) AS quality_score
+    FROM f
+    """,
+)
+def quality_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = textstats.quality_features(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_chars_m").cast("long").alias("n_chars_m"),
+        F.col("n_punct").cast("long").alias("n_punct"),
+        "punct_ratio",
+        "stopword_ratio",
+        "quality_score",
+    )
+
+
+@_register(
+    "token_count_docs",
+    f"""
+    SELECT doc_id,
+           CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+           CAST(ceil(length(regexp_replace(text, '\\s', '', 'g')) / 4) AS BIGINT) AS n_subword_est
+    FROM documents
+    """,
+)
+def token_count_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = textstats.token_count(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "n_subword_est",
+    )
+
+
+_NORM_TEXT_SQL = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+_FP_INT_SQL = md5_long_sql(_NORM_TEXT_SQL)
+
+
+@_register(
+    "fingerprint_docs",
+    f"""
+    SELECT doc_id,
+           md5({_NORM_TEXT_SQL}) AS fp_md5,
+           {_FP_INT_SQL} AS fp_int
+    FROM documents
+    """,
+)
+def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# 6. Extraction flagship (rows-only: corpus is generated, not a driver view)
+# --------------------------------------------------------------------------
+
+
+def _synthetic_corpus(spark: SparkSession, n_docs: int = 60):
+    """Deterministic in-repo corpus for the extraction queries (cached)."""
+    import os
+
+    cache = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".cache", f"corpus_{n_docs}")
+    from ms_ocr_spark.sources.datagen import write_corpus
+
+    paths = write_corpus(cache, n_docs=n_docs, seed=42)
+    docs = spark.read.parquet(paths["documents"])
+    media = spark.read.parquet(paths["media_store"])
+    return docs, media
+
+
+def extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule flagship: interleaved text+media extraction, re-stitched
+    by offset.  Rows-only check (inputs are generated PNGs/HTML, not driver
+    views); exactness is enforced by the pytest golden suite instead."""
+    from ms_ocr_spark.extraction.pipeline import extract_documents
+
+    docs, media = _synthetic_corpus(spark)
+    out = extract_documents(docs, media)
+    # flatten for a stable driver-visible schema
+    return out.select("doc_id", F.posexplode("spans").alias("pos", "span")).select(
+        "doc_id",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
+_REGISTRY.append(("extract_spans", extract_spans, None))
+
+
+def media_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata extraction over binary payloads (rows-only)."""
+    from ms_ocr_spark.operators.multimodal import image_metadata
+
+    _, media = _synthetic_corpus(spark)
+    return image_metadata(media)
+
+
+_REGISTRY.append(("media_image_metadata", media_image_metadata, None))
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, fn, _ in _REGISTRY}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, _, sql in _REGISTRY if sql is not None}

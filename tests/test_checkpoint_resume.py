@@ -1,0 +1,67 @@
+"""Resume test (SURVEY.md §5 item 5): crash after k buckets, resume,
+byte-identical output, no duplicate commits."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ms_ocr_spark.plans import checkpoint as cp
+
+
+def test_checkpoint_resume_exactly_once(spark, corpus_dir, tmp_path):
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    media = spark.read.parquet(f"{corpus_dir}/media_store.parquet")
+    golden = spark.read.parquet(f"{corpus_dir}/golden_spans.parquet")
+    out = str(tmp_path / "out")
+
+    # "crash" after 3 of 8 buckets
+    first = cp.run_with_checkpoints(
+        spark, docs, media, out, job_id="j1", n_buckets=8, max_buckets=3
+    )
+    assert len(first) == 3
+    assert cp.completed_buckets(out, "j1", 8) == set(first)
+
+    # resume: only the remaining buckets are processed
+    second = cp.run_with_checkpoints(spark, docs, media, out, job_id="j1", n_buckets=8)
+    assert sorted(first + second) == list(range(8))
+    assert set(first).isdisjoint(second)
+
+    # a third call is a no-op (no duplicate commits)
+    assert cp.run_with_checkpoints(spark, docs, media, out, job_id="j1", n_buckets=8) == []
+
+    # full output equals golden, no duplicates
+    result = cp.read_output(spark, out)
+    assert result.count() == golden.count()
+    assert result.select("doc_id").distinct().count() == golden.count()
+    r = result.select("doc_id", F.to_json("spans").alias("js"))
+    g = golden.select("doc_id", F.to_json("spans").alias("js"))
+    assert g.join(r, ["doc_id", "js"]).count() == golden.count()
+
+    # lineage + metrics side tables
+    lin = cp.read_lineage(spark, out)
+    assert lin.count() == 8
+    met = cp.extraction_metrics(spark, out).collect()[0]
+    assert met["n_docs"] == golden.count()
+    assert met["n_spans"] == golden.select(F.sum(F.size("spans"))).collect()[0][0]
+    assert met["n_media_missing"] == 0
+
+
+def test_streaming_incremental(spark, corpus_dir, tmp_path):
+    from ms_ocr_spark.streaming.incremental import stream_extract
+
+    media = spark.read.parquet(f"{corpus_dir}/media_store.parquet")
+    golden = spark.read.parquet(f"{corpus_dir}/golden_spans.parquet")
+    out = str(tmp_path / "stream_out")
+    q = stream_extract(
+        spark,
+        f"{corpus_dir}/documents.parquet",
+        media,
+        out,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+    result = spark.read.parquet(out + "/epoch=*")
+    assert result.count() == golden.count()
+    r = result.select("doc_id", F.to_json("spans").alias("js"))
+    g = golden.select("doc_id", F.to_json("spans").alias("js"))
+    assert g.join(r, ["doc_id", "js"]).count() == golden.count()

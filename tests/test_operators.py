@@ -1,0 +1,125 @@
+"""Spark-level operator tests not covered by the DuckDB parity suite."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ms_ocr_spark.operators.boxes import dedup_overlap_keep_first
+from ms_ocr_spark.operators.multimodal import (
+    image_metadata,
+    image_resize,
+    sniff_format,
+    video_frame_sample,
+)
+from ms_ocr_spark.operators.textstats import search_match
+
+
+def _ref_keep_first(rows, threshold):
+    """Straight-line reimplementation of the reference `_filterOverlapBox`
+    (`/root/reference/src/library/engine_paddle/main.py:56-83`)."""
+    kept = []
+    for r in sorted(rows, key=lambda r: r["box_id"]):
+        drop = False
+        for k in kept:
+            ox = max(0, min(r["x2"], k["x2"]) - max(r["x1"], k["x1"]))
+            oy = max(0, min(r["y2"], k["y2"]) - max(r["y1"], k["y1"]))
+            ov = ox * oy
+            a_r = (r["x2"] - r["x1"]) * (r["y2"] - r["y1"])
+            a_k = (k["x2"] - k["x1"]) * (k["y2"] - k["y1"])
+            if a_r and a_k and ov / a_r > threshold and ov / a_k > threshold:
+                drop = True
+                break
+        if not drop:
+            kept.append(r)
+    return sorted((k["box_id"] for k in kept))
+
+
+def test_dedup_keep_first_matches_reference_semantics(spark):
+    rng = np.random.default_rng(11)
+    rows = []
+    for doc in range(6):
+        for i in range(40):
+            x1, y1 = int(rng.integers(0, 60)), int(rng.integers(0, 60))
+            rows.append(
+                {
+                    "doc_id": doc,
+                    "box_id": i,
+                    "x1": x1,
+                    "y1": y1,
+                    "x2": x1 + int(rng.integers(3, 20)),
+                    "y2": y1 + int(rng.integers(3, 20)),
+                }
+            )
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = dedup_overlap_keep_first(df, threshold=0.5).toPandas()
+    for doc in range(6):
+        got = sorted(out[out.doc_id == doc]["box_id"].tolist())
+        want = _ref_keep_first([r for r in rows if r["doc_id"] == doc], 0.5)
+        assert got == want, f"doc {doc}"
+
+
+def test_sniff_format():
+    from ms_ocr_spark.extraction.ocr.glyphs import render_text
+    from ms_ocr_spark.extraction.ocr.png import encode_gray
+
+    png = encode_gray(render_text("HI"))
+    assert sniff_format(png) == "png"
+    assert sniff_format(b"\xff\xd8\xff\xe0abcd") == "jpeg"
+    assert sniff_format(b"II*\x00rest") == "tiff"
+    assert sniff_format(b"????????") == "unknown"
+    assert sniff_format(None) == "unknown"
+
+
+def test_image_metadata_and_resize(spark, corpus_dir):
+    media = spark.read.parquet(f"{corpus_dir}/media_store.parquet")
+    meta = image_metadata(media).toPandas()
+    assert (meta["format"] == "png").all()
+    assert (meta["width"] > 0).all() and (meta["height"] > 0).all()
+    assert ((meta["ink_ratio"] > 0) & (meta["ink_ratio"] < 0.6)).all()
+
+    small = image_resize(media.limit(4), max_side=32).toPandas()
+    assert (small[["width", "height"]].max(axis=1) <= 32).all()
+
+
+def test_video_frame_sample_fanout(spark, corpus_dir):
+    media = spark.read.parquet(f"{corpus_dir}/media_store.parquet").limit(5)
+    frames = video_frame_sample(media, every_n=5).toPandas()
+    assert len(frames) > 5  # one row in -> many frame rows out
+    assert frames.groupby("media_ref").frame_idx.is_monotonic_increasing.all()
+
+
+def test_search_match_nfkc(spark):
+    df = spark.createDataFrame(
+        [("ｈｅｌｌｏ ｗｏｒｌｄ",), ("plain hello",), ("nope",), (None,)],
+        ["text"],
+    )
+    out = search_match(df, "text", "HELLO").toPandas()
+    # NFKC folds fullwidth forms; casefold + space-strip then contains
+    assert out["is_match"].tolist() == [True, True, False, False]
+
+
+def test_extraction_plan_stays_arrow_batched(spark, corpus_dir):
+    """input_hint guard: the pipeline's Python stages must be Arrow-
+    vectorized (ArrowEvalPython), never row-at-a-time (BatchEvalPython)."""
+    from ms_ocr_spark.extraction.pipeline import extract_documents
+
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    media = spark.read.parquet(f"{corpus_dir}/media_store.parquet")
+    plan = extract_documents(docs, media)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_pushdown_reaches_parquet_scan(spark):
+    """Catalyst sanity: filter + projection push into the parquet scan."""
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .filter(F.col("l_orderkey") == 42)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,42)]" in plan
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
