@@ -52,9 +52,13 @@ def test_streaming_incremental(spark, corpus_dir, tmp_path):
     media = spark.read.parquet(f"{corpus_dir}/media_store.parquet")
     golden = spark.read.parquet(f"{corpus_dir}/golden_spans.parquet")
     out = str(tmp_path / "stream_out")
+    # the file stream source requires a DIRECTORY of files
+    docs_dir = tmp_path / "docs_in"
+    docs_dir.mkdir()
+    (docs_dir / "part-0.parquet").symlink_to(f"{corpus_dir}/documents.parquet")
     q = stream_extract(
         spark,
-        f"{corpus_dir}/documents.parquet",
+        str(docs_dir),
         media,
         out,
         str(tmp_path / "ckpt"),
