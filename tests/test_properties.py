@@ -1,0 +1,67 @@
+"""Property-based tests (hypothesis) for order-sensitive kernels
+(SURVEY.md §5 item 4)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ms_ocr_spark.extraction.arc90 import extract_main_text
+from ms_ocr_spark.extraction.ocr.glyphs import ALPHABET, render_text
+from ms_ocr_spark.extraction.ocr.kernel import decode_image
+from ms_ocr_spark.extraction.ocr.png import decode_gray, encode_gray
+
+
+def _merge_ref(intervals: list[tuple[int, int]], gap: int = 0) -> list[tuple[int, int]]:
+    out: list[list[int]] = []
+    for s, e in sorted(intervals):
+        if out and s <= out[-1][1] + gap:
+            out[-1][1] = max(out[-1][1], e)
+        else:
+            out.append([s, e])
+    return [tuple(x) for x in out]
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1000), st.integers(1, 50)).map(
+            lambda t: (t[0], t[0] + t[1])
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_interval_merge_reference_properties(intervals):
+    """The pure merge is idempotent and covers exactly the input union."""
+    merged = _merge_ref(intervals)
+    # idempotent
+    assert _merge_ref(merged) == merged
+    # disjoint and sorted
+    for (s1, e1), (s2, e2) in zip(merged, merged[1:]):
+        assert e1 < s2
+    # coverage: every input point inside some merged interval
+    for s, e in intervals:
+        assert any(ms <= s and e <= me for ms, me in merged)
+
+
+_WORDS = st.lists(
+    st.text(alphabet=ALPHABET, min_size=1, max_size=6), min_size=1, max_size=4
+)
+
+
+@given(_WORDS)
+@settings(max_examples=30, deadline=None)
+def test_ocr_render_decode_inverse(words):
+    """decode ∘ encode ∘ render == identity on the glyph alphabet."""
+    text = " ".join(words)
+    assert decode_image(decode_gray(encode_gray(render_text(text)))) == text
+
+
+@given(st.text(min_size=0, max_size=200))
+@settings(max_examples=50, deadline=None)
+def test_arc90_total_on_arbitrary_strings(s):
+    """The extractor never raises on arbitrary (non-HTML) input and always
+    returns whitespace-normalized text."""
+    out = extract_main_text(s)
+    assert out is None or out == " ".join(out.split())
