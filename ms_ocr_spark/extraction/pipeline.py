@@ -160,21 +160,26 @@ def extract_documents(
     if salt_partitions:
         flat = flat.repartition(salt_partitions, "doc_id", "offset")
 
-    text_branch = flat.filter(F.col("kind") == "text").withColumn(
-        "out_text", extract_text_spans(F.col("text"))
-    )
+    # Single-pass plan: one shuffle, one join, no union.  A two-branch
+    # filter/union shape re-explodes and re-shuffles the input twice (the
+    # exchanges are not reused across the branches) and doubles shuffle-
+    # write cost; instead both UDFs are projected once — each is ~free on
+    # the other kind's rows (null input -> null output) — and a CASE picks
+    # the survivor.  The media join stays a left join on media_ref
+    # (broadcast when the store fits, AQE sort-merge otherwise).
     media_side = media.select("media_ref", "payload")
     if broadcast_media:
         media_side = F.broadcast(media_side)
-    media_branch = (
-        flat.filter(F.col("kind") == "media")
-        .join(media_side, "media_ref", "left")
-        .withColumn("out_text", ocr_media_spans(F.col("payload")))
+    joined = flat.join(media_side, "media_ref", "left")
+    with_text = joined.withColumn(
+        "out_text",
+        F.when(
+            F.col("kind") == "text", extract_text_spans(F.col("text"))
+        ).otherwise(ocr_media_spans(F.col("payload"))),
     )
 
     cols = ["doc_id", "kind", "out_text", "media_ref", "offset"]
-    unioned = text_branch.select(*cols).unionByName(media_branch.select(*cols))
-    result = _restitch(unioned, two_level_regroup)
+    result = _restitch(with_text.select(*cols), two_level_regroup)
     if keep_empty_docs:
         spine = docs.select("doc_id")
         result = spine.join(result, "doc_id", "left").select(

@@ -46,6 +46,34 @@ def sniff_format(buf: bytes | None) -> str:
     return "unknown"
 
 
+_MAGIC = {"png": "89504E47", "jpeg": "FFD8FF", "tiff_le": "49492A00", "tiff_be": "4D4D002A"}
+
+
+def validate_media(
+    media: DataFrame,
+    payload_col: str = "payload",
+    max_bytes: int = 30 * 1024 * 1024,
+) -> DataFrame:
+    """Admission control, JVM-side (no UDF): MIME sniff by magic bytes +
+    size cap, reference S2/S3/S4 (`/root/reference/src/HelperSrc.ts:
+    184-430`, 30 MB limit `env/local.env:26`).  Adds `mime` and
+    `is_valid`; route `~is_valid` rows to a quarantine sink.
+    """
+    from pyspark.sql import functions as F
+
+    head = F.upper(F.hex(F.substring(F.col(payload_col), 1, 4)))
+    mime = (
+        F.when(head.startswith(_MAGIC["png"]), "png")
+        .when(head.startswith(_MAGIC["jpeg"]), "jpeg")
+        .when(head.startswith(_MAGIC["tiff_le"]) | head.startswith(_MAGIC["tiff_be"]), "tiff")
+        .otherwise("unknown")
+    )
+    return media.withColumn("mime", mime).withColumn(
+        "is_valid",
+        (F.col("mime") != "unknown") & (F.length(payload_col) <= max_bytes),
+    )
+
+
 def image_metadata(media: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Decode payloads (real PNG decode) -> per-image metadata rows."""
 

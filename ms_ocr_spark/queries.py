@@ -360,7 +360,7 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _CELLS_SQL = """
-      SELECT l_orderkey % 37 AS doc_id,
+      SELECT l_orderkey % 9973 AS doc_id,
              l_orderkey * 10 + l_linenumber AS box_id,
              CAST((l_partkey % 20) * 10 AS BIGINT) AS x1,
              CAST((l_suppkey % 10) * 10 AS BIGINT) AS y1,
@@ -369,7 +369,7 @@ _CELLS_SQL = """
       FROM lineitem WHERE l_linenumber = 1
 """
 _TEXTS_SQL = """
-      SELECT l_orderkey % 37 AS doc_id,
+      SELECT l_orderkey % 9973 AS doc_id,
              l_orderkey * 10 + l_linenumber AS box_id,
              CAST((l_partkey % 20) * 10 + CAST(floor(l_quantity) AS BIGINT) % 15 AS BIGINT) AS x1,
              CAST((l_suppkey % 10) * 10 + l_orderkey % 7 AS BIGINT) AS y1,
@@ -382,7 +382,7 @@ _TEXTS_SQL = """
 def _cells_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
     return li.select(
-        (F.col("l_orderkey") % 37).alias("doc_id"),
+        (F.col("l_orderkey") % 9973).alias("doc_id"),
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("box_id"),
         ((F.col("l_partkey") % 20) * 10).cast("long").alias("x1"),
         ((F.col("l_suppkey") % 10) * 10).cast("long").alias("y1"),
@@ -395,7 +395,7 @@ def _texts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") >= 2)
     qx = F.floor(F.col("l_quantity")).cast("long") % 15
     return li.select(
-        (F.col("l_orderkey") % 37).alias("doc_id"),
+        (F.col("l_orderkey") % 9973).alias("doc_id"),
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("box_id"),
         ((F.col("l_partkey") % 20) * 10 + qx).cast("long").alias("x1"),
         ((F.col("l_suppkey") % 10) * 10 + F.col("l_orderkey") % 7).cast("long").alias("y1"),
@@ -442,7 +442,7 @@ def containment_anti_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _GRID_CELLS_SQL = """
-      SELECT l_orderkey % 37 AS doc_id,
+      SELECT l_orderkey % 997 AS doc_id,
              l_orderkey * 10 + l_linenumber AS box_id,
              CAST((l_partkey % 6) * 60 + CAST(floor(l_quantity) AS BIGINT) % 5 AS BIGINT) AS x1,
              CAST((l_suppkey % 5) * 40 + l_orderkey % 4 AS BIGINT) AS y1,
@@ -457,7 +457,7 @@ def _grid_cells_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     qx = F.floor(F.col("l_quantity")).cast("long") % 5
     return li.select(
-        (F.col("l_orderkey") % 37).alias("doc_id"),
+        (F.col("l_orderkey") % 997).alias("doc_id"),
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("box_id"),
         ((F.col("l_partkey") % 6) * 60 + qx).cast("long").alias("x1"),
         ((F.col("l_suppkey") % 5) * 40 + F.col("l_orderkey") % 4).cast("long").alias("y1"),

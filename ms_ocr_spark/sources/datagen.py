@@ -135,20 +135,13 @@ def _spans_for_doc(seed: int, doc_i: int, span_mult: int = 1) -> list[dict]:
     return spans
 
 
-def gen_corpus(
-    n_docs: int,
-    seed: int = 42,
-    skew_doc_pct: float = 0.0,
-    skew_mult: int = 50,
-) -> tuple[pa.Table, pa.Table, pa.Table]:
-    """Build (documents, media_store, golden_spans) arrow tables.
-
-    skew_doc_pct > 0 gives that fraction of docs `skew_mult`x the span count
-    (FIXTURES.md bench tier: exercises salted repartitioning / AQE skew).
-    """
+def _gen_chunk(args: tuple) -> tuple[list, list, list]:
+    """Generate one contiguous doc range (deterministic per doc index, so
+    chunking never changes the corpus)."""
+    lo, hi, n_docs, seed, skew_doc_pct, skew_mult = args
     doc_rows, media_rows, golden_rows = [], [], []
     n_skewed = int(n_docs * skew_doc_pct)
-    for i in range(n_docs):
+    for i in range(lo, hi):
         doc_id = f"doc-{i:08d}"
         mult = skew_mult if (n_skewed and i % max(1, n_docs // n_skewed) == 0) else 1
         in_spans, out_spans = [], []
@@ -180,6 +173,39 @@ def gen_corpus(
                 )
         doc_rows.append({"doc_id": doc_id, "spans": in_spans})
         golden_rows.append({"doc_id": doc_id, "spans": out_spans})
+    return doc_rows, media_rows, golden_rows
+
+
+def gen_corpus(
+    n_docs: int,
+    seed: int = 42,
+    skew_doc_pct: float = 0.0,
+    skew_mult: int = 50,
+    processes: int | None = None,
+) -> tuple[pa.Table, pa.Table, pa.Table]:
+    """Build (documents, media_store, golden_spans) arrow tables.
+
+    skew_doc_pct > 0 gives that fraction of docs `skew_mult`x the span count
+    (FIXTURES.md bench tier: exercises salted repartitioning / AQE skew).
+    Media rendering dominates, so doc ranges fan out over a process pool;
+    per-doc determinism makes the result identical at any process count.
+    """
+    if processes is None:
+        processes = min(os.cpu_count() or 1, 16) if n_docs >= 500 else 1
+    chunks = []
+    step = max(1, n_docs // (processes * 4) + 1)
+    for lo in range(0, n_docs, step):
+        chunks.append((lo, min(lo + step, n_docs), n_docs, seed, skew_doc_pct, skew_mult))
+    if processes > 1:
+        from multiprocessing import Pool
+
+        with Pool(processes) as pool:
+            parts = pool.map(_gen_chunk, chunks)
+    else:
+        parts = [_gen_chunk(c) for c in chunks]
+    doc_rows = [r for p in parts for r in p[0]]
+    media_rows = [r for p in parts for r in p[1]]
+    golden_rows = [r for p in parts for r in p[2]]
     docs = pa.Table.from_pylist(doc_rows, schema=DOCS_SCHEMA)
     media = pa.Table.from_pylist(media_rows, schema=MEDIA_SCHEMA)
     golden = pa.Table.from_pylist(golden_rows, schema=DOCS_SCHEMA)
