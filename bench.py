@@ -25,7 +25,7 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "8000"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "24000"))
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -152,11 +152,11 @@ def main() -> None:
     _corpus_dir()  # generate once, outside the timed subprocess runs
     timings, sf = run_headline_queries()
 
-    # three-point scaling ladder: N, 4N, 16N cores (e.g. 2 -> 8 -> 32).
-    # Efficiency is reported for both adjacent N->4N pairs; the top pair
-    # approaches the measured memory-bandwidth ceiling of the OCR kernel
-    # on this box (see BENCH.md).
-    ladder = sorted({max(1, CPUS // 16), max(2, CPUS // 4), CPUS})
+    # N vs 4N scaling pair (e.g. local[8] vs local[32]) — the sandbox proxy
+    # for two cluster sizes (BASELINE.json north rule).  The corpus is
+    # sized so UDF compute dominates the fixed per-job cost; see BENCH.md
+    # for the tail/bandwidth analysis behind these choices.
+    ladder = sorted({max(2, CPUS // 4), CPUS})
     runs = {c: _extract_subprocess(c) for c in ladder}
     extraction: dict = {f"local[{c}]": runs[c] for c in ladder}
     for lo, hi in zip(ladder, ladder[1:]):

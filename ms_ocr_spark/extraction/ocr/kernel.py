@@ -145,11 +145,13 @@ def estimate_skew(mask: np.ndarray, grid: np.ndarray = SKEW_GRID) -> float:
         ys, xs = ys[::step], xs[::step]
     cy, cx = ys.mean(), xs.mean()
     best_deg, best_score = 0.0, -1.0
+    xs32 = (xs - cx).astype(np.float32)
+    ys32 = (ys - cy).astype(np.float32)
     for deg in grid:
         th = np.deg2rad(-deg)  # candidate correction
-        c, s = np.cos(th), np.sin(th)
-        yr = -s * (xs - cx) + c * (ys - cy)
-        xr = c * (xs - cx) + s * (ys - cy)
+        c, s = np.float32(np.cos(th)), np.float32(np.sin(th))
+        yr = -s * xs32 + c * ys32
+        xr = c * xs32 + s * ys32
         rows = np.rint(yr).astype(np.int64)
         cols = np.rint(xr).astype(np.int64)
         rcounts = np.bincount(rows - rows.min()).astype(np.float64)
@@ -284,6 +286,9 @@ def _resize_mask_nn(mask: np.ndarray, h: int, w: int) -> np.ndarray:
     return mask[np.ix_(ys, xs)]
 
 
+_POPCNT = np.array([bin(i).count("1") for i in range(256)], dtype=np.int32)
+
+
 def _build_template_stack() -> tuple[np.ndarray, list[str]]:
     """Stack of glyph templates at residual-skew variants (-2..+2 deg).
 
@@ -305,6 +310,9 @@ def _build_template_stack() -> tuple[np.ndarray, list[str]]:
 
 
 _TPL_STACK, _TPL_CHARS = _build_template_stack()
+# bit-packed templates: XOR + popcount-LUT moves 8x fewer bytes per compare
+# than bool-array != (the kernel is bandwidth-bound at high core counts)
+_TPL_PACKED = np.packbits(_TPL_STACK.reshape(len(_TPL_STACK), -1), axis=1)
 
 
 def _decode_glyph(crop: np.ndarray) -> str:
@@ -325,7 +333,8 @@ def _decode_glyph(crop: np.ndarray) -> str:
     best_ch, best_d = "?", 1 << 30
     for v in variants:
         resized = _resize_mask_nn(v, th, tw)
-        dists = (resized[None, :, :] != _TPL_STACK).sum(axis=(1, 2))
+        packed = np.packbits(resized.reshape(-1))
+        dists = _POPCNT[np.bitwise_xor(packed[None, :], _TPL_PACKED)].sum(axis=1)
         i = int(np.argmin(dists))
         if int(dists[i]) < best_d:
             best_d, best_ch = int(dists[i]), _TPL_CHARS[i]

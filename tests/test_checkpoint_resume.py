@@ -69,3 +69,27 @@ def test_streaming_incremental(spark, corpus_dir, tmp_path):
     r = result.select("doc_id", F.to_json("spans").alias("js"))
     g = golden.select("doc_id", F.to_json("spans").alias("js"))
     assert g.join(r, ["doc_id", "js"]).count() == golden.count()
+
+
+def test_extract_job_cli(spark, corpus_dir, tmp_path):
+    """spark-submit entrypoint smoke: run via main(), resume is a no-op."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    try:
+        import extract_job
+    finally:
+        sys.path.pop(0)
+    out = str(tmp_path / "cli_out")
+    args = [
+        "--documents", f"{corpus_dir}/documents.parquet",
+        "--media", f"{corpus_dir}/media_store.parquet",
+        "--output", out, "--buckets", "4", "--job-id", "t",
+    ]
+    assert extract_job.main(args) == 0
+    golden = spark.read.parquet(f"{corpus_dir}/golden_spans.parquet")
+    from ms_ocr_spark.plans.checkpoint import read_output
+
+    assert read_output(spark, out).count() == golden.count()
+    assert extract_job.main(args) == 0  # resume: no duplicates
+    assert read_output(spark, out).count() == golden.count()
