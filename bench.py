@@ -25,7 +25,7 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "8000"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "16000"))
 BENCH_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
 
 HEADLINE = [
@@ -162,14 +162,14 @@ def main() -> None:
     timings, sf = run_headline_queries()
 
     # Scaling ladder (sandbox proxy for two cluster sizes, BASELINE.json
-    # north rule).  The N -> 4N pair is CPUS/16 -> CPUS/4 (e.g. local[2] vs
-    # local[8]): both rungs sit below the host's noisy-neighbor throttling
+    # north rule).  The N -> 4N pair is CPUS/8 -> CPUS/2 (e.g. local[4] vs
+    # local[16]): both rungs sit below the host's noisy-neighbor throttling
     # region, so the ratio measures the JOB's scaling rather than the VM's
     # steal time (control experiments in BENCH.md: plain multiprocessing
     # hits the same >16-thread ceiling).  The full-CPU rung is still run
     # and reported as the headline absolute throughput.
-    n_lo = max(2, CPUS // 16)
-    n_hi = max(4, CPUS // 4)
+    n_lo = max(2, CPUS // 8)
+    n_hi = max(4, CPUS // 2)
     ladder = sorted({n_lo, n_hi, CPUS})
     runs = {c: _extract_subprocess(c) for c in ladder}
     extraction: dict = {f"local[{c}]": runs[c] for c in ladder}
