@@ -155,22 +155,22 @@ def run_headline_queries() -> tuple[dict[str, float], float]:
     return timings, sf
 
 
+def _burn(secs: float) -> int:
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < secs:
+        x += 1
+    return x
+
+
 def effective_cores(n: int = CPUS, secs: float = 1.5) -> float:
     """Quick multiprocessing burn: how many cores the host ACTUALLY gives
     right now (the sandbox VM has noisy neighbors that throttle on
     multi-minute windows) — recorded in the JSON for honest context."""
-    import time as _t
     from multiprocessing import Pool
 
-    def _burn(_):
-        t0 = _t.time()
-        x = 0
-        while _t.time() - t0 < secs:
-            x += 1
-        return x
-
     with Pool(n) as p:
-        res = p.map(_burn, range(n))
+        res = p.map(_burn, [secs] * n)
     return round(sum(res) / max(res), 1)
 
 
