@@ -226,7 +226,9 @@ def write_corpus(out_dir: str, n_docs: int, seed: int = 42, **kw) -> dict[str, s
     if all(os.path.exists(p) for p in paths.values()):
         return paths
     docs, media, golden = gen_corpus(n_docs, seed=seed, **kw)
-    pq.write_table(docs, paths["documents"])
-    pq.write_table(media, paths["media_store"])
-    pq.write_table(golden, paths["golden_spans"])
+    # small row groups keep the files splittable (parquet splits on row-
+    # group boundaries; a single-group file caps scan parallelism at 1)
+    pq.write_table(docs, paths["documents"], row_group_size=1000)
+    pq.write_table(media, paths["media_store"], row_group_size=2000)
+    pq.write_table(golden, paths["golden_spans"], row_group_size=1000)
     return paths
