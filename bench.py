@@ -163,6 +163,38 @@ def _burn(secs: float) -> int:
     return x
 
 
+def _pool_decode(buf: bytes) -> str:
+    from ms_ocr_spark.extraction.ocr import decode_gray, decode_image
+
+    return decode_image(decode_gray(buf))
+
+
+def kernel_pool_control(n_imgs: int = 4000) -> dict:
+    """Plain-multiprocessing scaling control for the OCR kernel (no Spark):
+    demonstrates the kernel itself scales N->4N; the gap between this and
+    the Spark job's ratio is engine overhead + host noise (BENCH.md)."""
+    from multiprocessing import Pool
+
+    import duckdb
+
+    corpus = _corpus_dir()
+    rows = duckdb.sql(
+        f"select payload from '{corpus}/media_store.parquet' limit {n_imgs}"
+    ).fetchall()
+    payloads = [bytes(r[0]) for r in rows]
+    out = {}
+    for nproc in (max(2, CPUS // 4), CPUS):
+        t0 = time.time()
+        with Pool(nproc) as p:
+            p.map(_pool_decode, payloads, chunksize=64)
+        out[f"pool[{nproc}]_img_per_sec"] = round(len(payloads) / (time.time() - t0), 1)
+    lo, hi = max(2, CPUS // 4), CPUS
+    out["pool_scaling_efficiency_N_to_4N"] = round(
+        out[f"pool[{hi}]_img_per_sec"] / (4 * out[f"pool[{lo}]_img_per_sec"]), 3
+    )
+    return out
+
+
 def effective_cores(n: int = CPUS, secs: float = 1.5) -> float:
     """Quick multiprocessing burn: how many cores the host ACTUALLY gives
     right now (the sandbox VM has noisy neighbors that throttle on
@@ -219,6 +251,7 @@ def main() -> None:
     extraction["scaling_efficiency_N_to_4N"] = max(pair_effs)
     extraction["host_effective_cores_before"] = cores_before
     extraction["host_effective_cores_after"] = effective_cores()
+    extraction["kernel_pool_control"] = kernel_pool_control()
 
     result = {
         "metric": "docs_per_sec_extraction",
