@@ -911,3 +911,80 @@ def queries() -> dict[str, QueryFn]:
 
 def oracle_sql() -> dict[str, str]:
     return {name: sql for name, _, sql in _REGISTRY if sql is not None}
+
+
+@_register(
+    "sequence_events",
+    """
+    SELECT user_id, event_id,
+           CAST(row_number() OVER (PARTITION BY user_id
+                ORDER BY epoch_us(ts), event_id) AS INT) AS seq_id
+    FROM events
+    """,
+)
+def sequence_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 sequence numbering (reference `enumerate(dataList, 1)`,
+    `engine_realtime/main.py:94`) — 1-based per-user event order."""
+    from ms_ocr_spark.operators.windows import sequence_number
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us")
+    )
+    return sequence_number(ev, ["user_id"], ["ts_us", "event_id"]).select(
+        "user_id", "event_id", "seq_id"
+    )
+
+
+@_register(
+    "cube_lineitem",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(ROUND(SUM(CAST(l_quantity AS {_DEC})), 2) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (free in Spark; absent in the reference)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast(_DEC)), 2)
+            .cast("double")
+            .alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@_register(
+    "distinct_users_by_type",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (exact; approx_count_distinct differs across
+    engines so the oracle-checked form is exact countDistinct)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def search_match_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 search-match over documents (NFKC pandas UDF -> rows-only)."""
+    from ms_ocr_spark.operators.textstats import search_match
+
+    return search_match(
+        _t(spark, sf_dir, "documents"), "text", "spark window"
+    ).select("doc_id", "is_match")
+
+
+_REGISTRY.append(("search_match_docs", search_match_docs, None))
