@@ -53,6 +53,9 @@ HEADLINE = [
     "quality_score_docs",
     "token_count_docs",
     "fingerprint_docs",
+    "sequence_events",
+    "cube_lineitem",
+    "distinct_users_by_type",
 ]
 
 

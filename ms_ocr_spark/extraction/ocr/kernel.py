@@ -172,7 +172,16 @@ def connected_components(mask: np.ndarray) -> list[tuple[int, int, int, int]]:
     (`image_processor/main.py:292-305`), vectorized per row.
     """
     h, w = mask.shape
-    parent: list[int] = []
+    # vectorized run extraction: one diff over the whole zero-padded mask
+    padded = np.zeros((h, w + 2), dtype=np.int8)
+    padded[:, 1:-1] = mask
+    d = np.diff(padded, axis=1)
+    srow, scol = np.nonzero(d == 1)  # run starts, row-major order
+    erow, ecol = np.nonzero(d == -1)  # run ends (exclusive), same count/rows
+    n = len(srow)
+    if n == 0:
+        return []
+    parent = list(range(n))
 
     def find(a: int) -> int:
         while parent[a] != a:
@@ -180,50 +189,51 @@ def connected_components(mask: np.ndarray) -> list[tuple[int, int, int, int]]:
             a = parent[a]
         return a
 
-    def union(a: int, b: int) -> None:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[rb] = ra
-
-    # runs[r] = list of (x_start, x_end_exclusive, comp_id)
-    prev_runs: list[tuple[int, int, int]] = []
-    boxes: dict[int, list[int]] = {}
-    for r in range(h):
-        row = mask[r]
-        if not row.any():
-            prev_runs = []
+    # group run indices by row (rows are sorted in srow)
+    row_breaks = np.nonzero(np.diff(srow))[0] + 1
+    row_slices = np.split(np.arange(n), row_breaks)
+    row_of_slice = [int(srow[sl[0]]) for sl in row_slices]
+    scol_l = scol.tolist()
+    ecol_l = ecol.tolist()
+    prev_runs: list[int] = []
+    prev_row = -2
+    for sl, r in zip(row_slices, row_of_slice):
+        cur = sl.tolist()
+        if r != prev_row + 1:
+            prev_runs = cur
+            prev_row = r
             continue
-        d = np.diff(row.astype(np.int8))
-        starts = list(np.nonzero(d == 1)[0] + 1)
-        ends = list(np.nonzero(d == -1)[0] + 1)
-        if row[0]:
-            starts.insert(0, 0)
-        if row[-1]:
-            ends.append(w)
-        cur_runs: list[tuple[int, int, int]] = []
-        pi = 0  # two-pointer over sorted prev_runs (runs are left-to-right)
-        for s, e in zip(starts, ends):
-            cid = len(parent)
-            parent.append(cid)
+        pi = 0  # two-pointer: both run lists are left-to-right
+        np_prev = len(prev_runs)
+        for cid in cur:
+            s, e = scol_l[cid], ecol_l[cid]
             # 8-connectivity: overlap with previous row runs, expanded by 1
-            while pi < len(prev_runs) and prev_runs[pi][1] + 1 <= s:
+            while pi < np_prev and ecol_l[prev_runs[pi]] + 1 <= s:
                 pi += 1
             pj = pi
-            while pj < len(prev_runs) and prev_runs[pj][0] - 1 < e:
-                union(prev_runs[pj][2], cid)
+            while pj < np_prev and scol_l[prev_runs[pj]] - 1 < e:
+                ra, rb = find(prev_runs[pj]), find(cid)
+                if ra != rb:
+                    parent[rb] = ra
                 pj += 1
-            cur_runs.append((s, e, cid))
-            boxes[cid] = [s, r, e, r + 1]
-        prev_runs = cur_runs
+        prev_runs = cur
+        prev_row = r
     merged: dict[int, list[int]] = {}
-    for cid, (x1, y1, x2, y2) in boxes.items():
+    for cid in range(n):
         root = find(cid)
-        if root in merged:
-            m = merged[root]
-            m[0], m[1] = min(m[0], x1), min(m[1], y1)
-            m[2], m[3] = max(m[2], x2), max(m[3], y2)
-        else:
+        x1, y1, x2, y2 = scol_l[cid], int(srow[cid]), ecol_l[cid], int(srow[cid]) + 1
+        m = merged.get(root)
+        if m is None:
             merged[root] = [x1, y1, x2, y2]
+        else:
+            if x1 < m[0]:
+                m[0] = x1
+            if y1 < m[1]:
+                m[1] = y1
+            if x2 > m[2]:
+                m[2] = x2
+            if y2 > m[3]:
+                m[3] = y2
     return [tuple(b) for b in merged.values()]
 
 
