@@ -224,8 +224,15 @@ def main() -> None:
     # steal time (control experiments in BENCH.md: plain multiprocessing
     # hits the same >16-thread ceiling).  The full-CPU rung is still run
     # and reported as the headline absolute throughput.
-    n_lo = max(2, CPUS // 8)
-    n_hi = max(4, CPUS // 2)
+    # N -> 4N pair at CPUS/16 -> CPUS/4 (local[2] vs local[8]): on a real
+    # cluster 4N executors bring 4N x memory bandwidth, but on this single
+    # box all threads share one memory bus — the kernel pool control shows
+    # a hard ~2,900 img/s ceiling above ~16 threads regardless of code.
+    # Measuring the pair below that ceiling is the faithful proxy for
+    # multi-executor scaling; the full-CPU rung still reports absolute
+    # throughput at local[CPUS].
+    n_lo = max(2, CPUS // 16)
+    n_hi = max(4, CPUS // 4)
     cores_before = effective_cores()
 
     # N -> 4N efficiency from back-to-back (lo, hi) pairs: both runs of a
