@@ -258,7 +258,11 @@ def main() -> None:
 
     extraction: dict = {f"local[{c}]": runs[c] for c in sorted(runs)}
     extraction["pair_efficiencies_N_to_4N"] = pair_effs
-    extraction["scaling_efficiency_N_to_4N"] = max(pair_effs)
+    # headline = median pair (robust to a single favorable/unfavorable noise
+    # window); max is reported separately as best_pair_efficiency
+    srt = sorted(pair_effs)
+    extraction["scaling_efficiency_N_to_4N"] = srt[(len(srt) - 1) // 2]  # lower median
+    extraction["best_pair_efficiency_N_to_4N"] = max(pair_effs)
     extraction["host_effective_cores_before"] = cores_before
     extraction["host_effective_cores_after"] = effective_cores()
     extraction["kernel_pool_control"] = kernel_pool_control()

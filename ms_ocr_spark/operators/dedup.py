@@ -138,17 +138,18 @@ def jaccard_verify(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    # threshold compares the UNROUNDED ratio (ints -> identical IEEE double
+    # in any engine); the output column is rounded for display/hash parity.
+    # Filtering on the rounded value would pass pairs within 5e-7 below the
+    # threshold that the exact comparison rejects.
+    ratio = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
     out = (
         inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
         .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
-            ),
-        )
+        .filter(ratio >= threshold)
+        .withColumn("jaccard", F.round(ratio, 6))
     )
-    return out.filter(F.col("jaccard") >= threshold)
+    return out
 
 
 def simhash_signatures(

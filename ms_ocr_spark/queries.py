@@ -105,7 +105,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3-style 3-way join + top-10 (broadcast the dimension side)."""
+    """TPC-H Q3-style 3-way join + top-10.
+
+    Broadcast ONLY the segment-filtered customer dimension; orders is a
+    fact table (~150M rows at sf100) so lineitem ⋈ orders stays a shuffle
+    join that AQE can plan/skew-split — a forced broadcast there OOMs real
+    executors."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
@@ -113,8 +118,8 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1) - F.col("l_discount")
     ).cast("decimal(8,6)")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
         .select(

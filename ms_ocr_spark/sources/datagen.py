@@ -215,20 +215,30 @@ def gen_corpus(
 def write_corpus(out_dir: str, n_docs: int, seed: int = 42, **kw) -> dict[str, str]:
     """Write the three tables as parquet; returns {name: path}.
 
-    Idempotent: skips generation when all three files already exist (the
-    corpus is a pure function of (n_docs, seed, kw)).
+    Idempotent on the FULL parameter set: a params.json sidecar records
+    (n_docs, seed, kw); the cache is reused only when all files exist AND
+    the recorded params match, so changing e.g. skew settings between runs
+    regenerates instead of silently serving mislabeled data.
     """
+    import json
+
     os.makedirs(out_dir, exist_ok=True)
     paths = {
         name: os.path.join(out_dir, f"{name}.parquet")
         for name in ("documents", "media_store", "golden_spans")
     }
-    if all(os.path.exists(p) for p in paths.values()):
-        return paths
+    params = {"n_docs": n_docs, "seed": seed, **{k: kw[k] for k in sorted(kw) if k != "processes"}}
+    params_path = os.path.join(out_dir, "params.json")
+    if all(os.path.exists(p) for p in paths.values()) and os.path.exists(params_path):
+        with open(params_path) as f:
+            if json.load(f) == json.loads(json.dumps(params)):
+                return paths
     docs, media, golden = gen_corpus(n_docs, seed=seed, **kw)
     # small row groups keep the files splittable (parquet splits on row-
     # group boundaries; a single-group file caps scan parallelism at 1)
     pq.write_table(docs, paths["documents"], row_group_size=1000)
     pq.write_table(media, paths["media_store"], row_group_size=2000)
     pq.write_table(golden, paths["golden_spans"], row_group_size=1000)
+    with open(params_path, "w") as f:
+        json.dump(params, f)
     return paths

@@ -22,6 +22,10 @@ from pyspark.sql import DataFrame, SparkSession
 from ms_ocr_spark.extraction.pipeline import OUTPUT_SCHEMA  # noqa: F401  (public schema)
 from ms_ocr_spark.extraction.pipeline import extract_documents
 
+# Input documents share the output shape (doc_id, spans) — BASELINE.json
+# input_hint; text spans carry raw HTML instead of extracted text.
+INPUT_SCHEMA = OUTPUT_SCHEMA
+
 
 def stream_extract(
     spark: SparkSession,
@@ -30,6 +34,7 @@ def stream_extract(
     out_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    schema=None,
     **extract_kw,
 ):
     """Watch `docs_dir` for document parquet files; extract incrementally.
@@ -37,10 +42,16 @@ def stream_extract(
     With `available_now=True` the query drains everything currently
     present and stops (the batch-catchup trigger); otherwise it runs
     continuously.  Returns the StreamingQuery.
+
+    `schema` defaults to the canonical documents schema (input_hint shape)
+    so an initially-EMPTY watch directory works — streaming sources cannot
+    infer schema, and a `spark.read` probe would fail before any file
+    lands.
     """
-    static = spark.read.parquet(docs_dir)
+    if schema is None:
+        schema = INPUT_SCHEMA
     stream = (
-        spark.readStream.schema(static.schema)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 8)
         .parquet(docs_dir)
     )

@@ -52,12 +52,22 @@ def test_q1_is_single_shuffle_agg(spark):
     assert "PushedFilters" in plan and "LessThanOrEqual(l_shipdate" in plan
 
 
-def test_q3_broadcasts_dimensions(spark):
+def test_q3_broadcasts_only_customer_dimension(spark):
+    """The fact-fact join (lineitem ⋈ orders) must NOT be a forced
+    broadcast — at sf100 orders is ~150M rows and would OOM executors.
+    With auto-broadcast off (the at-scale situation) the plan must show
+    exactly the one explicit customer broadcast and a shuffle join for
+    lineitem ⋈ orders."""
     from ms_ocr_spark.queries import q3_top_orders
 
-    plan = _plan(q3_top_orders(spark, "/root/testdata/sf0.001"))
-    assert plan.count("BroadcastExchange") == 2  # orders + customers
-    assert "SortMergeJoin" not in plan
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(q3_top_orders(spark, "/root/testdata/sf0.001"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert plan.count("BroadcastExchange") == 1  # customer only
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
 
 
 def test_brute_force_topk_broadcasts_queries(spark):
