@@ -103,7 +103,10 @@ def dedup_overlap_keep_first(
     schema = boxes.schema
 
     def _dedup(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_col)
+        # full-tuple sort: order_col ties (duplicate detection ids) would
+        # otherwise leave the greedy scan order — and thus the keep-set —
+        # dependent on partition-internal row order
+        pdf = pdf.sort_values([order_col, "x1", "y1", "x2", "y2"])
         kept_idx: list[int] = []
         x1 = pdf["x1"].to_numpy()
         y1 = pdf["y1"].to_numpy()

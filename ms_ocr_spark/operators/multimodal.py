@@ -86,13 +86,16 @@ def image_metadata(media: DataFrame, payload_col: str = "payload") -> DataFrame:
                 fmt = sniff_format(bytes(buf) if buf is not None else None)
                 if fmt == "png":
                     img = decode_gray(bytes(buf))
+                    # rounded to 6dp with Python round(): bit-identical to
+                    # the datagen golden (same expressions on the same
+                    # losslessly round-tripped pixels)
                     rows.append(
                         (
                             ref,
                             img.shape[1],
                             img.shape[0],
-                            float((img < 128).mean()),
-                            float(img.mean()),
+                            round(float((img < 128).mean()), 6),
+                            round(float(img.mean()), 6),
                             fmt,
                         )
                     )

@@ -865,14 +865,25 @@ def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _synthetic_corpus(spark: SparkSession, n_docs: int = 60):
-    """Deterministic in-repo corpus for the extraction queries (cached)."""
+_CORPUS_N_DOCS = 60
+
+
+def _corpus_paths(n_docs: int = _CORPUS_N_DOCS) -> dict[str, str]:
+    """Deterministic in-repo corpus for the extraction queries (cached;
+    pure function of (n_docs, seed) so the Spark query and the DuckDB
+    oracle read the identical fixtures)."""
     import os
 
-    cache = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".cache", f"corpus_{n_docs}")
     from ms_ocr_spark.sources.datagen import write_corpus
 
-    paths = write_corpus(cache, n_docs=n_docs, seed=42)
+    cache = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), ".cache", f"corpus_{n_docs}"
+    )
+    return write_corpus(cache, n_docs=n_docs, seed=42)
+
+
+def _synthetic_corpus(spark: SparkSession, n_docs: int = _CORPUS_N_DOCS):
+    paths = _corpus_paths(n_docs)
     docs = spark.read.parquet(paths["documents"])
     media = spark.read.parquet(paths["media_store"])
     return docs, media
@@ -880,8 +891,9 @@ def _synthetic_corpus(spark: SparkSession, n_docs: int = 60):
 
 def extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule flagship: interleaved text+media extraction, re-stitched
-    by offset.  Rows-only check (inputs are generated PNGs/HTML, not driver
-    views); exactness is enforced by the pytest golden suite instead."""
+    by offset.  Oracle = the corpus generator's golden_spans parquet
+    (independent straight-line derivation of the expected spans), unnested
+    to the same flat schema."""
     from ms_ocr_spark.extraction.pipeline import extract_documents
 
     docs, media = _synthetic_corpus(spark)
@@ -899,8 +911,20 @@ def extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REGISTRY.append(("extract_spans", extract_spans, None))
 
 
+def _extract_spans_oracle() -> str:
+    paths = _corpus_paths()
+    return f"""
+    SELECT doc_id, u.kind AS kind, u.text AS text,
+           u.media_ref AS media_ref, u."offset" AS "offset"
+    FROM (SELECT doc_id, unnest(spans) AS u
+          FROM read_parquet('{paths["golden_spans"]}'))
+    """
+
+
 def media_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal metadata extraction over binary payloads (rows-only)."""
+    """Multimodal metadata extraction over binary payloads.  Oracle = the
+    generator's golden_media_meta parquet (computed from the raw pixels
+    before PNG encoding — independent of the engine's decode path)."""
     from ms_ocr_spark.operators.multimodal import image_metadata
 
     _, media = _synthetic_corpus(spark)
@@ -910,12 +934,92 @@ def media_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REGISTRY.append(("media_image_metadata", media_image_metadata, None))
 
 
+def _media_meta_oracle() -> str:
+    paths = _corpus_paths()
+    return (
+        "SELECT media_ref, width, height, ink_ratio, mean_intensity, format "
+        f"FROM read_parquet('{paths['golden_media_meta']}')"
+    )
+
+
+def _keepfirst_golden_oracle() -> str:
+    """Golden-parquet oracle for the order-dependent P7 keep-first dedup.
+
+    The keep-set evolves during the scan, so the operator is not
+    SQL-expressible; the oracle is a straight-line Python twin of the
+    reference `_filterOverlapBox` (`/root/reference/src/library/
+    engine_paddle/main.py:56-83`) run over the SAME derived box set,
+    materialized once as parquet.  The scale defaults to sf0.01 (the
+    driver's correctness gate); tests override via SPARK_GRAFT_ORACLE_SF.
+    """
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)),
+        ".cache",
+        f"golden_keepfirst_{tag}.parquet",
+    )
+    if not os.path.exists(out):
+        src = _TEXTS_SQL.replace(
+            "FROM lineitem",
+            f"FROM read_parquet('{sf_dir}/lineitem.parquet')",
+        )
+        rows = duckdb.sql(
+            "SELECT doc_id, box_id, x1, y1, x2, y2 "
+            f"FROM ({src}) ORDER BY doc_id, box_id, x1, y1, x2, y2"
+        ).fetchall()
+        kept_rows: list[dict] = []
+        kept: list[tuple] = []
+        cur_doc = None
+        for doc_id, box_id, x1, y1, x2, y2 in rows:
+            if doc_id != cur_doc:
+                cur_doc, kept = doc_id, []
+            drop = False
+            for k in kept:
+                ox = max(0, min(x2, k[2]) - max(x1, k[0]))
+                oy = max(0, min(y2, k[3]) - max(y1, k[1]))
+                ov = ox * oy
+                a_new = (x2 - x1) * (y2 - y1)
+                a_k = (k[2] - k[0]) * (k[3] - k[1])
+                if a_new and a_k and ov / a_new > 0.5 and ov / a_k > 0.5:
+                    drop = True
+                    break
+            if not drop:
+                kept.append((x1, y1, x2, y2))
+                kept_rows.append(
+                    {"doc_id": doc_id, "box_id": box_id, "x1": x1, "y1": y1, "x2": x2, "y2": y2}
+                )
+        schema = pa.schema([(c, pa.int64()) for c in ("doc_id", "box_id", "x1", "y1", "x2", "y2")])
+        tmp = out + ".tmp"
+        pq.write_table(pa.Table.from_pylist(kept_rows, schema=schema), tmp)
+        os.replace(tmp, out)
+    return f"SELECT doc_id, box_id, x1, y1, x2, y2 FROM read_parquet('{out}')"
+
+
+# Oracles whose SQL embeds a generated-fixture path: built lazily so the
+# fixture is guaranteed to exist by the time the driver runs the SQL.
+_LAZY_ORACLES: dict[str, Callable[[], str]] = {
+    "extract_spans": _extract_spans_oracle,
+    "media_image_metadata": _media_meta_oracle,
+    "dedup_boxes_keep_first": _keepfirst_golden_oracle,
+}
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, fn, _ in _REGISTRY}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, _, sql in _REGISTRY if sql is not None}
+    out = {name: sql for name, _, sql in _REGISTRY if sql is not None}
+    for name, builder in _LAZY_ORACLES.items():
+        out[name] = builder()
+    return out
 
 
 @_register(
@@ -983,13 +1087,22 @@ def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "search_match_docs",
+    """
+    SELECT doc_id,
+           COALESCE(contains(replace(lower(text), ' ', ''), 'sparkwindow'), FALSE) AS is_match
+    FROM documents
+    """,
+)
 def search_match_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P11 search-match over documents (NFKC pandas UDF -> rows-only)."""
+    """P11 search-match over documents.  The Spark side runs the full
+    reference chain (NFKC pandas UDF -> casefold -> space strip ->
+    contains); the driver's documents corpus is pure ASCII, where NFKC is
+    the identity, so the DuckDB twin is the plain lower/strip/contains —
+    the NFKC-specific behavior is pinned by test_search_match_nfkc."""
     from ms_ocr_spark.operators.textstats import search_match
 
     return search_match(
         _t(spark, sf_dir, "documents"), "text", "spark window"
     ).select("doc_id", "is_match")
-
-
-_REGISTRY.append(("search_match_docs", search_match_docs, None))

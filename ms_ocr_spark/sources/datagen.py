@@ -39,6 +39,18 @@ DOCS_SCHEMA = pa.schema([("doc_id", pa.string()), ("spans", pa.list_(SPAN_STRUCT
 MEDIA_SCHEMA = pa.schema(
     [("media_ref", pa.string()), ("payload", pa.binary()), ("truth_text", pa.string())]
 )
+# independent metadata golden: computed from the raw numpy image BEFORE PNG
+# encoding, so it cross-checks the engine's decode+measure path end-to-end
+MEDIA_META_SCHEMA = pa.schema(
+    [
+        ("media_ref", pa.string()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("ink_ratio", pa.float64()),
+        ("mean_intensity", pa.float64()),
+        ("format", pa.string()),
+    ]
+)
 
 _TEXT_WORDS = (
     "stream batch shuffle partition catalyst arrow vector column predicate "
@@ -108,8 +120,8 @@ def make_media_truth(seed: int, doc_i: int, off: int) -> str:
     return "\n".join(lines)
 
 
-def render_media_payload(seed: int, media_ref: str, truth: str) -> bytes:
-    """Render truth text -> rotate (seeded grid angle) -> noise -> PNG bytes."""
+def render_media_image(seed: int, media_ref: str, truth: str) -> np.ndarray:
+    """Render truth text -> rotate (seeded grid angle) -> noise (raw image)."""
     from ms_ocr_spark.extraction.ocr.kernel import rotate_bilinear
 
     h = _h(seed, "payload", media_ref)
@@ -122,7 +134,26 @@ def render_media_payload(seed: int, media_ref: str, truth: str) -> bytes:
     img = img.copy()
     img[flips & salt] = 255
     img[flips & ~salt] = 0
-    return encode_gray(img)
+    return img
+
+
+def render_media_payload(seed: int, media_ref: str, truth: str) -> bytes:
+    """PNG bytes of render_media_image."""
+    return encode_gray(render_media_image(seed, media_ref, truth))
+
+
+def image_meta_row(media_ref: str, img: np.ndarray) -> dict:
+    """Golden metadata from the raw image (pre-encode; PNG gray8 is
+    lossless so the engine's decode-then-measure must reproduce this
+    exactly — same expressions as operators/multimodal.image_metadata)."""
+    return {
+        "media_ref": media_ref,
+        "width": int(img.shape[1]),
+        "height": int(img.shape[0]),
+        "ink_ratio": round(float((img < 128).mean()), 6),
+        "mean_intensity": round(float(img.mean()), 6),
+        "format": "png",
+    }
 
 
 def _spans_for_doc(seed: int, doc_i: int, span_mult: int = 1) -> list[dict]:
@@ -139,7 +170,7 @@ def _gen_chunk(args: tuple) -> tuple[list, list, list]:
     """Generate one contiguous doc range (deterministic per doc index, so
     chunking never changes the corpus)."""
     lo, hi, n_docs, seed, skew_doc_pct, skew_mult = args
-    doc_rows, media_rows, golden_rows = [], [], []
+    doc_rows, media_rows, golden_rows, meta_rows = [], [], [], []
     n_skewed = int(n_docs * skew_doc_pct)
     for i in range(lo, hi):
         doc_id = f"doc-{i:08d}"
@@ -158,13 +189,15 @@ def _gen_chunk(args: tuple) -> tuple[list, list, list]:
             else:
                 ref = f"img-{doc_id}-{off}"
                 truth = make_media_truth(seed, i, off)
+                img = render_media_image(seed, ref, truth)
                 media_rows.append(
                     {
                         "media_ref": ref,
-                        "payload": render_media_payload(seed, ref, truth),
+                        "payload": encode_gray(img),
                         "truth_text": truth,
                     }
                 )
+                meta_rows.append(image_meta_row(ref, img))
                 in_spans.append(
                     {"kind": "media", "text": None, "media_ref": ref, "offset": off}
                 )
@@ -173,7 +206,7 @@ def _gen_chunk(args: tuple) -> tuple[list, list, list]:
                 )
         doc_rows.append({"doc_id": doc_id, "spans": in_spans})
         golden_rows.append({"doc_id": doc_id, "spans": out_spans})
-    return doc_rows, media_rows, golden_rows
+    return doc_rows, media_rows, golden_rows, meta_rows
 
 
 def gen_corpus(
@@ -206,10 +239,12 @@ def gen_corpus(
     doc_rows = [r for p in parts for r in p[0]]
     media_rows = [r for p in parts for r in p[1]]
     golden_rows = [r for p in parts for r in p[2]]
+    meta_rows = [r for p in parts for r in p[3]]
     docs = pa.Table.from_pylist(doc_rows, schema=DOCS_SCHEMA)
     media = pa.Table.from_pylist(media_rows, schema=MEDIA_SCHEMA)
     golden = pa.Table.from_pylist(golden_rows, schema=DOCS_SCHEMA)
-    return docs, media, golden
+    meta = pa.Table.from_pylist(meta_rows, schema=MEDIA_META_SCHEMA)
+    return docs, media, golden, meta
 
 
 def write_corpus(out_dir: str, n_docs: int, seed: int = 42, **kw) -> dict[str, str]:
@@ -225,7 +260,7 @@ def write_corpus(out_dir: str, n_docs: int, seed: int = 42, **kw) -> dict[str, s
     os.makedirs(out_dir, exist_ok=True)
     paths = {
         name: os.path.join(out_dir, f"{name}.parquet")
-        for name in ("documents", "media_store", "golden_spans")
+        for name in ("documents", "media_store", "golden_spans", "golden_media_meta")
     }
     params = {"n_docs": n_docs, "seed": seed, **{k: kw[k] for k in sorted(kw) if k != "processes"}}
     params_path = os.path.join(out_dir, "params.json")
@@ -233,12 +268,13 @@ def write_corpus(out_dir: str, n_docs: int, seed: int = 42, **kw) -> dict[str, s
         with open(params_path) as f:
             if json.load(f) == json.loads(json.dumps(params)):
                 return paths
-    docs, media, golden = gen_corpus(n_docs, seed=seed, **kw)
+    docs, media, golden, meta = gen_corpus(n_docs, seed=seed, **kw)
     # small row groups keep the files splittable (parquet splits on row-
     # group boundaries; a single-group file caps scan parallelism at 1)
     pq.write_table(docs, paths["documents"], row_group_size=1000)
     pq.write_table(media, paths["media_store"], row_group_size=2000)
     pq.write_table(golden, paths["golden_spans"], row_group_size=1000)
+    pq.write_table(meta, paths["golden_media_meta"], row_group_size=2000)
     with open(params_path, "w") as f:
         json.dump(params, f)
     return paths

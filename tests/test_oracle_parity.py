@@ -6,6 +6,8 @@ exact value comparison, at sf0.001 (the driver runs sf0.01).
 
 from __future__ import annotations
 
+import os
+
 import duckdb
 import pandas as pd
 import pytest
@@ -13,6 +15,8 @@ import pytest
 from ms_ocr_spark import queries as Q
 
 SF_DIR = "/root/testdata/sf0.001"
+# sf-pinned golden oracles (keep-first dedup) must be built at THIS scale
+os.environ["SPARK_GRAFT_ORACLE_SF"] = SF_DIR
 TABLES = [
     "region",
     "nation",
