@@ -31,6 +31,28 @@ def md5_long_sql(expr: str, salt: str | None = None) -> str:
     return f"CAST(concat('0x', substr(md5({inner}), 1, 15)) AS BIGINT)"
 
 
+MERSENNE31 = (1 << 31) - 1
+
+
+def perm_params(n: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the classic universal-hash minhash
+    family h_s(x) = (a_s * x + b_s) mod (2^31 - 1)  (Broder '97).
+
+    One md5 per shingle + n cheap integer permutations replaces n md5s per
+    shingle (~16x less hashing CPU); a_s*x < 2^62 so the product is safe
+    under ANSI overflow checking in both engines.  Derived from md5 so the
+    Spark plan and the DuckDB oracle embed identical literals.
+    """
+    import hashlib
+
+    out = []
+    for s in range(n):
+        a = int(hashlib.md5(f"perm:a:{s}".encode()).hexdigest()[:8], 16) % (MERSENNE31 - 1) + 1
+        b = int(hashlib.md5(f"perm:b:{s}".encode()).hexdigest()[:8], 16) % MERSENNE31
+        out.append((a, b))
+    return out
+
+
 def plane_weights(n_planes: int, dim: int) -> list[list[float]]:
     """±1.0 random-hyperplane weights from md5 parity — computed once on
     the driver and embedded as literals in BOTH the Spark plan and the

@@ -9,9 +9,11 @@ SURVEY.md §2.2 P7); included per the engine's training-data mandate.
 Scale notes:
   * exact: one groupBy on the content hash — map-side partial agg makes
     the shuffle proportional to distinct keys.
-  * minhash: explode(shingles) dominates; the band join only moves
-    (doc_id, band_key) pairs.  Bucket skew (a viral shingle set) is
-    bounded because keys are full 4-minhash band signatures.
+  * minhash: explode(shingles) dominates; all 16 salted hashes travel as
+    ONE row per (doc, shingle) and min-aggregate map-side (no salt
+    explode).  The band join only moves (doc_id, band_key) pairs; bucket
+    skew (a viral shingle set) is bounded because keys are full
+    4-minhash band signatures.
   * simhash: one explode + one groupBy; signatures join on equality.
 """
 
@@ -20,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ms_ocr_spark.functions.hashing import md5_long
+from ms_ocr_spark.functions.hashing import MERSENNE31, md5_long, perm_params
 
 TOKEN_PATTERN = "\\s+"
 
@@ -60,6 +62,34 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def minhash_signature_arrays(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+) -> DataFrame:
+    """(id, sig: array<long>[num_hashes]) from (id, shingle) rows.
+
+    ONE row per (doc, shingle) enters the shuffle carrying all permuted
+    hashes as columns; the per-salt mins aggregate map-side (partial agg
+    collapses each partition to one row per doc), so shuffle volume is
+    ~num_hashes x smaller than exploding a salt row per shingle.  The
+    hash family is one md5 per shingle + num_hashes cheap universal-hash
+    permutations (perm_params), ~16x less hashing CPU than md5-per-salt.
+    """
+    base = md5_long(F.col("shingle")) % F.lit(MERSENNE31)
+    hcols = [
+        ((F.lit(a) * base + F.lit(b)) % F.lit(MERSENNE31)).alias(f"h{s}")
+        for s, (a, b) in enumerate(perm_params(num_hashes))
+    ]
+    per = sh.select(id_col, *hcols)
+    agg = per.groupBy(id_col).agg(
+        *[F.min(f"h{s}").alias(f"m{s}") for s in range(num_hashes)]
+    )
+    return agg.select(
+        id_col, F.array(*[f"m{s}" for s in range(num_hashes)]).alias("sig")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -67,43 +97,54 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, salt, minhash) — min over md5-salted shingle hashes.
+    """(id, salt, minhash) — min over md5-salted shingle hashes, computed
+    via the one-pass array aggregation and unpivoted for the public schema.
 
     Docs with fewer than shingle_n tokens have no shingles and drop out
     (standard minhash behavior).
     """
     sh = shingles(df, id_col, text_col, shingle_n)
-    salted = sh.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("salt"),
-        "shingle",
-    ).select(
-        id_col,
-        "salt",
-        md5_long(F.concat(F.col("salt").cast("string"), F.lit(":"), F.col("shingle"))).alias("h"),
-    )
-    return salted.groupBy(id_col, "salt").agg(F.min("h").alias("minhash"))
+    arr = minhash_signature_arrays(sh, id_col, num_hashes)
+    return arr.select(id_col, F.posexplode("sig").alias("salt", "minhash"))
 
 
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
     rows_per_band: int = 4,
+    num_hashes: int = 16,
 ) -> DataFrame:
     """Band the signature, bucket-join: pairs sharing any full band.
 
-    Band key = comma-joined minhashes in salt order (deterministic; the
-    oracle builds the identical string).
+    Accepts either the array form from `minhash_signature_arrays` (fast
+    path: band keys are pure projections, no extra shuffle) or the public
+    (id, salt, minhash) row form (re-grouped first).  Band key =
+    comma-joined minhashes in salt order (deterministic; the oracle builds
+    the identical string).
     """
-    banded = signatures.withColumn("band", (F.col("salt") / rows_per_band).cast("int"))
-    keys = banded.groupBy(id_col, "band").agg(
-        F.concat_ws(
-            ",",
+    if "sig" not in signatures.columns:
+        signatures = signatures.groupBy(id_col).agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("salt", "minhash"))),
-                lambda s: s["minhash"].cast("string"),
-            ),
-        ).alias("band_key")
+                lambda s: s["minhash"],
+            ).alias("sig")
+        )
+    n_bands = num_hashes // rows_per_band
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                ",",
+                *[
+                    F.col("sig")[i].cast("string")
+                    for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                ],
+            ).alias("band_key"),
+        )
+        for b in range(n_bands)
+    ]
+    keys = signatures.select(
+        id_col, F.inline(F.array(*band_structs))
     )
     a = keys.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = keys.select(F.col(id_col).alias("id_b"), "band", "band_key")
@@ -122,13 +163,16 @@ def jaccard_verify(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.0,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs via distinct-shingle counts.
 
     jaccard = |A ∩ B| / |A ∪ B| computed from group sizes (integer math
-    until the final division).
+    until the final division).  Pass `shingles_df` (e.g. a persisted
+    shingle relation already built for the minhash stage) to avoid
+    re-deriving shingles from the raw text.
     """
-    sh = shingles(df, id_col, text_col, shingle_n)
+    sh = shingles_df if shingles_df is not None else shingles(df, id_col, text_col, shingle_n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a_sh = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b_sh = sh.select(F.col(id_col).alias("id_b"), "shingle")

@@ -19,7 +19,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ms_ocr_spark.functions.hashing import md5_long_sql, plane_weights
+from ms_ocr_spark.functions.hashing import (
+    MERSENNE31,
+    md5_long_sql,
+    perm_params,
+    plane_weights,
+)
 from ms_ocr_spark.operators import dedup, similarity, textstats
 from ms_ocr_spark.operators.boxes import (
     containment_anti,
@@ -563,14 +568,39 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_exact(_t(spark, sf_dir, "documents"))
 
 
+# Broder universal-hash minhash family: one md5 per shingle reduced mod
+# 2^31-1, then 16 (a*h+b) mod 2^31-1 permutations — literals identical on
+# both engines (functions/hashing.py perm_params).
+_PERMS16 = perm_params(16)
+_MINHASH_V_SQL = f"""
+    sb AS (SELECT doc_id, {md5_long_sql('shingle')} % {MERSENNE31} AS hb FROM sh),
+    v AS (SELECT doc_id,
+          {", ".join(f"MIN(({a} * hb + {b}) % {MERSENNE31}) AS m{s}" for s, (a, b) in enumerate(_PERMS16))}
+          FROM sb GROUP BY doc_id)
+"""
+_SALT_STRUCTS = ", ".join(f"{{'s': {s}, 'm': m{s}}}" for s in range(16))
+
+
+def _band_key_sql(b: int, rows_per_band: int = 4) -> str:
+    parts = ", ',', ".join(
+        f"CAST(m{i} AS VARCHAR)"
+        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+    )
+    return f"concat({parts})"
+
+
+_BAND_STRUCTS = ", ".join(
+    f"{{'band': {b}, 'band_key': {_band_key_sql(b)}}}" for b in range(4)
+)
+
+
 @_register(
     "minhash_signatures_docs",
     f"""
-    WITH sh AS ({_SHINGLES_SQL})
-    SELECT doc_id, CAST(salt AS BIGINT) AS salt,
-           MIN({md5_long_sql("concat(CAST(salt AS VARCHAR), ':', shingle)")}) AS minhash
-    FROM sh, range(16) r(salt)
-    GROUP BY doc_id, salt
+    WITH sh AS ({_SHINGLES_SQL}),
+    {_MINHASH_V_SQL}
+    SELECT doc_id, CAST(u.s AS BIGINT) AS salt, u.m AS minhash
+    FROM (SELECT doc_id, unnest([{_SALT_STRUCTS}]) AS u FROM v)
     """,
 )
 def minhash_signatures_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -580,14 +610,10 @@ def minhash_signatures_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MINHASH_SQL = f"""
     sh AS ({_SHINGLES_SQL}),
-    mh AS (
-      SELECT doc_id, CAST(salt AS BIGINT) AS salt,
-             MIN({md5_long_sql("concat(CAST(salt AS VARCHAR), ':', shingle)")}) AS minhash
-      FROM sh, range(16) r(salt) GROUP BY doc_id, salt),
+    {_MINHASH_V_SQL},
     bands AS (
-      SELECT doc_id, CAST(salt // 4 AS INT) AS band,
-             string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY salt) AS band_key
-      FROM mh GROUP BY doc_id, salt // 4),
+      SELECT doc_id, u.band AS band, u.band_key AS band_key
+      FROM (SELECT doc_id, unnest([{_BAND_STRUCTS}]) AS u FROM v)),
     pairs AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
@@ -600,8 +626,10 @@ _MINHASH_SQL = f"""
     f"WITH {_MINHASH_SQL} SELECT id_a, id_b FROM pairs",
 )
 def lsh_candidate_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = dedup.minhash_signatures(_t(spark, sf_dir, "documents"))
-    return dedup.lsh_candidate_pairs(sig)
+    # array fast path: shingles -> per-doc signature array -> band keys as
+    # pure projections (one shuffle total before the bucket join)
+    sh = dedup.shingles(_t(spark, sf_dir, "documents"))
+    return dedup.lsh_candidate_pairs(dedup.minhash_signature_arrays(sh))
 
 
 @_register(
@@ -622,11 +650,16 @@ def lsh_candidate_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidates verified by exact 3-gram Jaccard >= 0.5."""
+    """MinHash-LSH candidates verified by exact 3-gram Jaccard >= 0.5.
+
+    The shingle relation is built ONCE and persisted: the minhash stage
+    and the exact-verify stage both read it from cache instead of
+    re-tokenizing the full corpus twice.
+    """
     docs = _t(spark, sf_dir, "documents")
-    sig = dedup.minhash_signatures(docs)
-    pairs = dedup.lsh_candidate_pairs(sig)
-    out = dedup.jaccard_verify(pairs, docs, threshold=0.5)
+    sh = dedup.shingles(docs).persist()
+    pairs = dedup.lsh_candidate_pairs(dedup.minhash_signature_arrays(sh))
+    out = dedup.jaccard_verify(pairs, docs, threshold=0.5, shingles_df=sh)
     return out.select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
 
 
