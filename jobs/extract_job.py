@@ -5,14 +5,16 @@ Cluster usage (north rule: packaged for --py-files, resumable):
 
     ./scripts/package.sh     # builds dist/ms_ocr_spark.zip
     spark-submit --py-files dist/ms_ocr_spark.zip jobs/extract_job.py \\
-        --documents  s3://bucket/warehouse/documents \\
-        --media      s3://bucket/warehouse/media_store \\
-        --output     s3://bucket/warehouse/extracted \\
+        --documents  s3a://bucket/warehouse/documents \\
+        --media      s3a://bucket/warehouse/media_store \\
+        --output     s3a://bucket/warehouse/extracted \\
         --job-id     extract-2026-08-16 \\
         --buckets    4096 --salt-partitions 8192
 
 Re-running the same command after a failure resumes: committed buckets
-(lineage markers) are skipped, partial buckets are overwritten.
+(lineage markers, written through the output path's Hadoop FileSystem so
+they work on object stores too) are skipped; partial buckets are
+re-written by the dynamic partition overwrite.
 
 Local smoke:
 

@@ -19,7 +19,7 @@ def test_checkpoint_resume_exactly_once(spark, corpus_dir, tmp_path):
         spark, docs, media, out, job_id="j1", n_buckets=8, max_buckets=3
     )
     assert len(first) == 3
-    assert cp.completed_buckets(out, "j1", 8) == set(first)
+    assert cp.completed_buckets(spark, out, "j1", 8) == set(first)
 
     # resume: only the remaining buckets are processed
     second = cp.run_with_checkpoints(spark, docs, media, out, job_id="j1", n_buckets=8)
@@ -44,6 +44,20 @@ def test_checkpoint_resume_exactly_once(spark, corpus_dir, tmp_path):
     assert met["n_docs"] == golden.count()
     assert met["n_spans"] == golden.select(F.sum(F.size("spans"))).collect()[0][0]
     assert met["n_media_missing"] == 0
+
+
+def test_checkpoint_single_input_scan(spark, corpus_dir):
+    """The pending-bucket extraction must read the documents table ONCE —
+    a per-bucket loop would rescan 100 TB once per bucket."""
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    media = spark.read.parquet(f"{corpus_dir}/media_store.parquet")
+    plan = (
+        cp.pending_extraction(docs, media, list(range(8)), 8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("documents.parquet") == 1, "documents scanned more than once"
 
 
 def test_streaming_incremental(spark, corpus_dir, tmp_path):
