@@ -56,6 +56,8 @@ HEADLINE = [
     "sequence_events",
     "cube_lineitem",
     "distinct_users_by_type",
+    "table_cells_from_media",
+    "table_html_from_media",
 ]
 
 

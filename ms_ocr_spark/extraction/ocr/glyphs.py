@@ -81,6 +81,40 @@ def glyph_template(ch: str, scale: int = SCALE) -> np.ndarray:
     return np.where(big, INK, BG).astype(np.uint8)
 
 
+def text_width_fpx(text: str) -> int:
+    """Rendered width in font px of a single-token (no-space) string."""
+    if " " in text or "\n" in text:
+        raise ValueError("text_width_fpx is defined for single tokens only")
+    return (len(text) - 1) * ADVANCE + GLYPH_W
+
+
+def render_placed(
+    tokens: list[tuple[int, int, str]], scale: int = SCALE, margin: int = MARGIN
+) -> np.ndarray:
+    """Render tokens at explicit (x_fpx, y_fpx) top-left positions — the
+    table-tier renderer (cells placed on a grid, arbitrary anchors)."""
+    width_fpx = max(x + text_width_fpx(t) for x, _, t in tokens)
+    height_fpx = max(y + GLYPH_H for _, y, _ in tokens)
+    img = np.full(
+        (height_fpx * scale + 2 * margin, width_fpx * scale + 2 * margin),
+        BG,
+        dtype=np.uint8,
+    )
+    for x_fpx, y_fpx, text in tokens:
+        x = x_fpx
+        y0 = margin + y_fpx * scale
+        for ch in text:
+            if ch not in _FONT:
+                raise ValueError(f"unrenderable char {ch!r}")
+            tpl = glyph_template(ch, scale)
+            x0 = margin + x * scale
+            img[y0 : y0 + tpl.shape[0], x0 : x0 + tpl.shape[1]] = np.minimum(
+                img[y0 : y0 + tpl.shape[0], x0 : x0 + tpl.shape[1]], tpl
+            )
+            x += ADVANCE
+    return img
+
+
 def render_text(text: str, scale: int = SCALE, margin: int = MARGIN) -> np.ndarray:
     """Render multi-line uppercase text to a uint8 grayscale image.
 

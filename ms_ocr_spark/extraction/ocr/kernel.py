@@ -355,8 +355,15 @@ def _decode_glyph(crop: np.ndarray) -> str:
     return best_ch
 
 
-def decode_image(img: np.ndarray) -> str:
-    """Full kernel: grayscale image -> recovered text (lines joined by \\n)."""
+def decode_layout(img: np.ndarray) -> list[list[tuple[tuple[int, int, int, int], str]]]:
+    """Full kernel returning layout: lines of (word bbox, word text).
+
+    Boxes are (x1, y1, x2, y2) exclusive-end in the DESKEWED image space;
+    words are maximal glyph runs whose inter-glyph gap stays below the
+    word-space threshold.  `decode_image` is the text-only view; the table
+    pipeline consumes the boxes (reference cell/text boxes,
+    `engine_paddle/main.py:85-149`).
+    """
     den = median3(img)
     mask = binarize(den)
     corr = estimate_skew(mask)
@@ -369,16 +376,41 @@ def decode_image(img: np.ndarray) -> str:
     # drop specks the median filter let through (reference min-size predicate,
     # `detection_craft/main.py:76-77`)
     comps = [b for b in comps if (b[2] - b[0]) >= 2 and (b[3] - b[1]) >= 2]
-    lines_out: list[str] = []
+    lines_out: list[list[tuple[tuple[int, int, int, int], str]]] = []
     space_gap = (ADVANCE - GLYPH_W + SPACE_EXTRA / 2.0) * SCALE  # between inner gap and word gap
     for line in _group_lines(mask, comps):
         glyph_boxes = _merge_x_overlaps(line)
-        text: list[str] = []
+        words: list[tuple[tuple[int, int, int, int], str]] = []
+        chars: list[str] = []
+        wbox: list[int] | None = None
         prev_x2: int | None = None
         for x1, y1, x2, y2 in glyph_boxes:
             if prev_x2 is not None and (x1 - prev_x2) > space_gap:
-                text.append(" ")
-            text.append(_decode_glyph(mask[y1:y2, x1:x2]))
+                words.append((tuple(wbox), "".join(chars)))
+                chars, wbox = [], None
+            chars.append(_decode_glyph(mask[y1:y2, x1:x2]))
+            if wbox is None:
+                wbox = [x1, y1, x2, y2]
+            else:
+                wbox = [min(wbox[0], x1), min(wbox[1], y1), max(wbox[2], x2), max(wbox[3], y2)]
             prev_x2 = x2
-        lines_out.append("".join(text))
-    return "\n".join(lines_out)
+        if chars:
+            words.append((tuple(wbox), "".join(chars)))
+        lines_out.append(words)
+    return lines_out
+
+
+def decode_words(img: np.ndarray) -> list[tuple[int, int, int, int, str]]:
+    """Flattened reading-order word boxes: (x1, y1, x2, y2, text)."""
+    return [
+        (b[0], b[1], b[2], b[3], t)
+        for line in decode_layout(img)
+        for (b, t) in line
+    ]
+
+
+def decode_image(img: np.ndarray) -> str:
+    """Full kernel: grayscale image -> recovered text (lines joined by \\n)."""
+    return "\n".join(
+        " ".join(t for _, t in line) for line in decode_layout(img)
+    )

@@ -1035,12 +1035,71 @@ def _keepfirst_golden_oracle() -> str:
     return f"SELECT doc_id, box_id, x1, y1, x2, y2 FROM read_parquet('{out}')"
 
 
+_TABLE_CORPUS_N = 40
+
+
+def _table_corpus_paths(n_tables: int = _TABLE_CORPUS_N) -> dict[str, str]:
+    import os
+
+    from ms_ocr_spark.sources.datagen import write_table_corpus
+
+    cache = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), ".cache", f"tables_{n_tables}"
+    )
+    return write_table_corpus(cache, n_tables=n_tables, seed=42)
+
+
+def _table_grid_df(spark: SparkSession) -> DataFrame:
+    from ms_ocr_spark.operators.tables import detect_merges, grid_from_boxes, ocr_boxes
+
+    media = spark.read.parquet(_table_corpus_paths()["tables_media"])
+    return detect_merges(grid_from_boxes(ocr_boxes(media)))
+
+
+def table_cells_from_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed reference-flagship table extraction (rendered table image
+    -> OCR boxes -> `_detectGrid` clustering -> `_detectCellMerge` spans ->
+    `_buildDataFrame` matrix).  Oracle = layout-derived golden parquet
+    (independent straight-line derivation in sources/datagen.py)."""
+    from ms_ocr_spark.operators.tables import table_cells
+
+    return table_cells(_table_grid_df(spark))
+
+
+_REGISTRY.append(("table_cells_from_media", table_cells_from_media, None))
+
+
+def table_html_from_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML `<table>` sink with rowspan/colspan (reference S9 `_html`)."""
+    from ms_ocr_spark.operators.tables import table_html
+
+    return table_html(_table_grid_df(spark))
+
+
+_REGISTRY.append(("table_html_from_media", table_html_from_media, None))
+
+
+def _table_cells_oracle() -> str:
+    paths = _table_corpus_paths()
+    return (
+        "SELECT doc_id, row_idx, col_idx, cell_text, row_span, col_span, n_texts "
+        f"FROM read_parquet('{paths['golden_table_cells']}')"
+    )
+
+
+def _table_html_oracle() -> str:
+    paths = _table_corpus_paths()
+    return f"SELECT doc_id, html FROM read_parquet('{paths['golden_table_html']}')"
+
+
 # Oracles whose SQL embeds a generated-fixture path: built lazily so the
 # fixture is guaranteed to exist by the time the driver runs the SQL.
 _LAZY_ORACLES: dict[str, Callable[[], str]] = {
     "extract_spans": _extract_spans_oracle,
     "media_image_metadata": _media_meta_oracle,
     "dedup_boxes_keep_first": _keepfirst_golden_oracle,
+    "table_cells_from_media": _table_cells_oracle,
+    "table_html_from_media": _table_html_oracle,
 }
 
 

@@ -25,7 +25,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ms_ocr_spark.extraction.ocr.glyphs import ALPHABET, render_text
+from ms_ocr_spark.extraction.ocr.glyphs import ALPHABET, render_placed, render_text
 from ms_ocr_spark.extraction.ocr.png import encode_gray
 
 SPAN_FIELDS = [
@@ -275,6 +275,163 @@ def write_corpus(out_dir: str, n_docs: int, seed: int = 42, **kw) -> dict[str, s
     pq.write_table(media, paths["media_store"], row_group_size=2000)
     pq.write_table(golden, paths["golden_spans"], row_group_size=1000)
     pq.write_table(meta, paths["golden_media_meta"], row_group_size=2000)
+    with open(params_path, "w") as f:
+        json.dump(params, f)
+    return paths
+
+
+# ---------------------------------------------------------------------------
+# Table tier: rendered table images + independent grid/merge/html goldens
+# (reference flagship path, `engine_paddle/main.py:203-294` +
+# `data_to_table/main.py:177-244`).
+# ---------------------------------------------------------------------------
+
+TABLE_MEDIA_SCHEMA = pa.schema([("media_ref", pa.string()), ("payload", pa.binary())])
+TABLE_CELLS_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("row_idx", pa.int64()),
+        ("col_idx", pa.int64()),
+        ("cell_text", pa.string()),
+        ("row_span", pa.int64()),
+        ("col_span", pa.int64()),
+        ("n_texts", pa.int64()),
+    ]
+)
+TABLE_HTML_SCHEMA = pa.schema([("doc_id", pa.string()), ("html", pa.string())])
+
+# single-token cell texts (ALPHABET chars only, no spaces)
+_TABLE_SHORT = "A1 B2 C3 X9 Q8 7Z 42 ROW COL OCR DOC GRID CELL SPAN TEXT".split()
+_TABLE_LONG = "BINARIZE DESKEWED CATALYST8 SHUFFLE42 PARTITION BROADCAST".split()
+# grid pitch in font px: col pitch 40 fpx (=120 device px at SCALE 3) and
+# row pitch 12 fpx keep normal tokens (<=4 chars, <=26 fpx) well inside
+# their cluster while long merge tokens (8-9 chars, >=54 fpx) pass the next
+# column position + tolX with >=24 px margin against OCR jitter
+_TBL_COL_PITCH_FPX = 40
+_TBL_ROW_PITCH_FPX = 12
+
+
+def _table_layout(seed: int, ti: int) -> dict:
+    """Deterministic table spec: dims, colspan-2 merges, cell tokens."""
+    h = _h(seed, "table", ti)
+    n_rows = 3 + h % 2
+    n_cols = 3 + (h >> 4) % 2
+    merges: dict[tuple[int, int], tuple[int, int]] = {}
+    if h % 3:
+        r = (h >> 8) % n_rows
+        merges[(r, (h >> 12) % (n_cols - 1))] = (1, 2)
+        r2 = (r + 1 + (h >> 16) % (n_rows - 1)) % n_rows
+        if (h >> 20) % 2 and r2 != r:
+            merges[(r2, (h >> 24) % (n_cols - 1))] = (1, 2)
+    covered = {
+        (r, c + k)
+        for (r, c), (_, cs) in merges.items()
+        for k in range(1, cs)
+    }
+    tokens: dict[tuple[int, int], str] = {}
+    for r in range(n_rows):
+        for c in range(n_cols):
+            if (r, c) in covered:
+                continue
+            hc = _h(seed, "cell", ti, r, c)
+            pool = _TABLE_LONG if (r, c) in merges else _TABLE_SHORT
+            tokens[(r, c)] = pool[hc % len(pool)]
+    return {"n_rows": n_rows, "n_cols": n_cols, "merges": merges, "covered": covered, "tokens": tokens}
+
+
+def _apply_noise(img: np.ndarray, h: int) -> np.ndarray:
+    rng = np.random.default_rng(h)
+    flips = rng.random(img.shape) < 0.003
+    salt = rng.random(img.shape) < 0.5
+    img = img.copy()
+    img[flips & salt] = 255
+    img[flips & ~salt] = 0
+    return img
+
+
+def render_table_image(seed: int, ti: int) -> np.ndarray:
+    """Render the table layout -> seeded grid rotation -> noise."""
+    from ms_ocr_spark.extraction.ocr.kernel import rotate_bilinear
+
+    lay = _table_layout(seed, ti)
+    placed = [
+        (c * _TBL_COL_PITCH_FPX, r * _TBL_ROW_PITCH_FPX, tok)
+        for (r, c), tok in sorted(lay["tokens"].items())
+    ]
+    img = render_placed(placed)
+    h = _h(seed, "tpayload", ti)
+    img = rotate_bilinear(img, float(SKEW_DEGREES[h % len(SKEW_DEGREES)]))
+    return _apply_noise(img, h)
+
+
+def _table_goldens(ref: str, lay: dict) -> tuple[list[dict], str]:
+    """Straight-line golden derivation from the KNOWN layout (independent
+    of the OCR/grid code under test).  HTML emission mirrors the reference
+    `_html` structure (`data_to_table/main.py:35-98`): covered positions
+    emit no td, spans always written."""
+    cells = []
+    tr_list = []
+    for r in range(lay["n_rows"]):
+        tds = []
+        for c in range(lay["n_cols"]):
+            if (r, c) in lay["covered"]:
+                continue
+            rs, cs = lay["merges"].get((r, c), (1, 1))
+            tok = lay["tokens"][(r, c)]
+            cells.append(
+                {
+                    "doc_id": ref,
+                    "row_idx": r,
+                    "col_idx": c,
+                    "cell_text": tok,
+                    "row_span": rs,
+                    "col_span": cs,
+                    "n_texts": 1,
+                }
+            )
+            tds.append(f'<td rowspan="{rs}" colspan="{cs}">{tok}</td>')
+        tr_list.append("<tr>\n" + "\n".join(tds) + "\n</tr>")
+    html = "<table>\n" + "\n".join(tr_list) + "\n</table>"
+    return cells, html
+
+
+def write_table_corpus(out_dir: str, n_tables: int, seed: int = 42) -> dict[str, str]:
+    """Write (tables_media, golden_table_cells, golden_table_html) parquet."""
+    import json
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = {
+        name: os.path.join(out_dir, f"{name}.parquet")
+        for name in ("tables_media", "golden_table_cells", "golden_table_html")
+    }
+    params = {"n_tables": n_tables, "seed": seed}
+    params_path = os.path.join(out_dir, "params.json")
+    if all(os.path.exists(p) for p in paths.values()) and os.path.exists(params_path):
+        with open(params_path) as f:
+            if json.load(f) == params:
+                return paths
+    media_rows, cell_rows, html_rows = [], [], []
+    for ti in range(n_tables):
+        ref = f"tbl-{ti:06d}"
+        lay = _table_layout(seed, ti)
+        img = render_table_image(seed, ti)
+        media_rows.append({"media_ref": ref, "payload": encode_gray(img)})
+        cells, html = _table_goldens(ref, lay)
+        cell_rows.extend(cells)
+        html_rows.append({"doc_id": ref, "html": html})
+    pq.write_table(
+        pa.Table.from_pylist(media_rows, schema=TABLE_MEDIA_SCHEMA),
+        paths["tables_media"],
+        row_group_size=500,
+    )
+    pq.write_table(
+        pa.Table.from_pylist(cell_rows, schema=TABLE_CELLS_SCHEMA),
+        paths["golden_table_cells"],
+    )
+    pq.write_table(
+        pa.Table.from_pylist(html_rows, schema=TABLE_HTML_SCHEMA),
+        paths["golden_table_html"],
+    )
     with open(params_path, "w") as f:
         json.dump(params, f)
     return paths
