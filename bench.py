@@ -58,6 +58,7 @@ HEADLINE = [
     "distinct_users_by_type",
     "table_cells_from_media",
     "table_html_from_media",
+    "extract_spans_vertical",
 ]
 
 

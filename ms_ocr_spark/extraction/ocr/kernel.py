@@ -237,6 +237,25 @@ def connected_components(mask: np.ndarray) -> list[tuple[int, int, int, int]]:
     return [tuple(b) for b in merged.values()]
 
 
+def _bands_1d(ink: np.ndarray, min_blank: int = 4) -> list[tuple[int, int]]:
+    """Ink runs along one axis: [start, end) ranges separated by >=
+    min_blank blank positions."""
+    bands: list[tuple[int, int]] = []
+    r = 0
+    h = len(ink)
+    while r < h:
+        if not ink[r]:
+            r += 1
+            continue
+        start = r
+        blank = 0
+        while r < h and blank < min_blank:
+            blank = blank + 1 if not ink[r] else 0
+            r += 1
+        bands.append((start, r - blank))
+    return bands
+
+
 def _group_lines(
     mask: np.ndarray, boxes: list[tuple[int, int, int, int]]
 ) -> list[list[tuple[int, int, int, int]]]:
@@ -251,25 +270,36 @@ def _group_lines(
     """
     if not boxes:
         return []
-    ink_rows = mask.any(axis=1)
-    bands: list[tuple[int, int]] = []  # [start, end) row ranges
-    r = 0
-    h = len(ink_rows)
-    while r < h:
-        if not ink_rows[r]:
-            r += 1
-            continue
-        start = r
-        blank = 0
-        while r < h and blank < 4:
-            blank = blank + 1 if not ink_rows[r] else 0
-            r += 1
-        bands.append((start, r - blank))
+    bands = _bands_1d(mask.any(axis=1))
     lines: list[list[tuple[int, int, int, int]]] = [[] for _ in bands]
     for b in boxes:
         overlaps = [max(0, min(b[3], be) - max(b[1], bs)) for bs, be in bands]
         lines[int(np.argmax(overlaps))].append(b)
     return [ln for ln in lines if ln]
+
+
+def _group_columns(
+    mask: np.ndarray, boxes: list[tuple[int, int, int, int]]
+) -> list[list[tuple[int, int, int, int]]]:
+    """Vertical-text analog of _group_lines: column bands on the x-ink
+    profile, components assigned by x-overlap, columns ordered RIGHT to
+    LEFT (the reference's `ja_vert` reading order, Tesseract psm 5 —
+    `/root/reference/src/library/engine_tesseract/main.py:32-70`)."""
+    if not boxes:
+        return []
+    bands = _bands_1d(mask.any(axis=0))
+    cols: list[list[tuple[int, int, int, int]]] = [[] for _ in bands]
+    for b in boxes:
+        overlaps = [max(0, min(b[2], be) - max(b[0], bs)) for bs, be in bands]
+        cols[int(np.argmax(overlaps))].append(b)
+    return [c for c in reversed(cols) if c]
+
+
+def is_vertical(mask: np.ndarray) -> bool:
+    """Orientation heuristic: vertical text stacks glyphs, so it produces
+    MORE row bands than column bands (a horizontal line is one row band
+    but one column band per glyph).  Ties read as horizontal."""
+    return len(_bands_1d(mask.any(axis=1))) > len(_bands_1d(mask.any(axis=0)))
 
 
 def _merge_x_overlaps(line: list[tuple[int, int, int, int]]) -> list[tuple[int, int, int, int]]:
@@ -285,6 +315,20 @@ def _merge_x_overlaps(line: list[tuple[int, int, int, int]]) -> list[tuple[int, 
         if out and b[0] < out[-1][2] + 3:
             m = out[-1]
             m[1], m[2], m[3] = min(m[1], b[1]), max(m[2], b[2]), max(m[3], b[3])
+        else:
+            out.append(list(b))
+    return [tuple(m) for m in out]
+
+
+def _merge_y_overlaps(col: list[tuple[int, int, int, int]]) -> list[tuple[int, int, int, int]]:
+    """Vertical analog of _merge_x_overlaps: merge y-overlapping component
+    pieces of one column into glyph boxes (vertical inter-glyph gap is
+    >= 9 device px; resample-split pieces sit <= 1 px apart)."""
+    out: list[list[int]] = []
+    for b in sorted(col, key=lambda b: b[1]):
+        if out and b[1] < out[-1][3] + 3:
+            m = out[-1]
+            m[0], m[2], m[3] = min(m[0], b[0]), max(m[2], b[2]), max(m[3], b[3])
         else:
             out.append(list(b))
     return [tuple(m) for m in out]
@@ -377,6 +421,20 @@ def decode_layout(img: np.ndarray) -> list[list[tuple[tuple[int, int, int, int],
     # `detection_craft/main.py:76-77`)
     comps = [b for b in comps if (b[2] - b[0]) >= 2 and (b[3] - b[1]) >= 2]
     lines_out: list[list[tuple[tuple[int, int, int, int], str]]] = []
+    if is_vertical(mask):
+        # vertical tier (reference ja_vert): one space-free word per
+        # column, columns in right-to-left reading order
+        for column in _group_columns(mask, comps):
+            glyph_boxes = _merge_y_overlaps(column)
+            chars = [_decode_glyph(mask[y1:y2, x1:x2]) for x1, y1, x2, y2 in glyph_boxes]
+            bbox = (
+                min(b[0] for b in glyph_boxes),
+                min(b[1] for b in glyph_boxes),
+                max(b[2] for b in glyph_boxes),
+                max(b[3] for b in glyph_boxes),
+            )
+            lines_out.append([(bbox, "".join(chars))])
+        return lines_out
     space_gap = (ADVANCE - GLYPH_W + SPACE_EXTRA / 2.0) * SCALE  # between inner gap and word gap
     for line in _group_lines(mask, comps):
         glyph_boxes = _merge_x_overlaps(line)

@@ -944,14 +944,55 @@ def extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REGISTRY.append(("extract_spans", extract_spans, None))
 
 
-def _extract_spans_oracle() -> str:
-    paths = _corpus_paths()
+def _golden_spans_oracle(golden_path: str) -> str:
     return f"""
     SELECT doc_id, u.kind AS kind, u.text AS text,
            u.media_ref AS media_ref, u."offset" AS "offset"
     FROM (SELECT doc_id, unnest(spans) AS u
-          FROM read_parquet('{paths["golden_spans"]}'))
+          FROM read_parquet('{golden_path}'))
     """
+
+
+def _extract_spans_oracle() -> str:
+    return _golden_spans_oracle(_corpus_paths()["golden_spans"])
+
+
+def _corpus_paths_vertical(n_docs: int = 40) -> dict[str, str]:
+    """All-vertical media tier (reference ja_vert, `engine_tesseract/
+    main.py:32-70`): every media span is a column-stacked rendering."""
+    import os
+
+    from ms_ocr_spark.sources.datagen import write_corpus
+
+    cache = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), ".cache", f"corpus_vert_{n_docs}"
+    )
+    return write_corpus(cache, n_docs=n_docs, seed=43, vertical_pct=1.0)
+
+
+def extract_spans_vertical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertical-text extraction tier: the kernel auto-detects orientation
+    (row-band vs column-band count) and decodes columns right-to-left."""
+    from ms_ocr_spark.extraction.pipeline import extract_documents
+
+    paths = _corpus_paths_vertical()
+    docs = spark.read.parquet(paths["documents"])
+    media = spark.read.parquet(paths["media_store"])
+    out = extract_documents(docs, media)
+    return out.select("doc_id", F.posexplode("spans").alias("pos", "span")).select(
+        "doc_id",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
+_REGISTRY.append(("extract_spans_vertical", extract_spans_vertical, None))
+
+
+def _extract_spans_vertical_oracle() -> str:
+    return _golden_spans_oracle(_corpus_paths_vertical()["golden_spans"])
 
 
 def media_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1096,6 +1137,7 @@ def _table_html_oracle() -> str:
 # fixture is guaranteed to exist by the time the driver runs the SQL.
 _LAZY_ORACLES: dict[str, Callable[[], str]] = {
     "extract_spans": _extract_spans_oracle,
+    "extract_spans_vertical": _extract_spans_vertical_oracle,
     "media_image_metadata": _media_meta_oracle,
     "dedup_boxes_keep_first": _keepfirst_golden_oracle,
     "table_cells_from_media": _table_cells_oracle,

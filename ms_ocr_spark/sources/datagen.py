@@ -67,6 +67,11 @@ _OCR_WORDS = (
 
 SKEW_DEGREES = np.arange(-3.0, 3.01, 0.5)
 
+# vertical tier (reference ja_vert): one token per column, read right to left
+_VERT_WORDS = [w for w in _OCR_WORDS if 3 <= len(w) <= 6]
+_VCOL_PITCH_FPX = 9  # glyph width 5 + 4 gap (12 device px blank between columns)
+_VCHAR_PITCH_FPX = 10  # glyph height 7 + 3 gap (9 device px blank between glyphs)
+
 
 def _h(seed: int, *key: object) -> int:
     s = f"{seed}:" + ":".join(str(k) for k in key)
@@ -120,6 +125,35 @@ def make_media_truth(seed: int, doc_i: int, off: int) -> str:
     return "\n".join(lines)
 
 
+def make_vertical_truth(seed: int, doc_i: int, off: int) -> str:
+    """1-2 vertical columns (3-6 chars each), '\\n'-separated in reading
+    order (rightmost column first — reference ja_vert, Tesseract psm 5)."""
+    h = _h(seed, "vmedia", doc_i, off)
+    n_cols = 1 + (h >> 8) % 2
+    return "\n".join(
+        _VERT_WORDS[_h(seed, "vcol", doc_i, off, ci) % len(_VERT_WORDS)]
+        for ci in range(n_cols)
+    )
+
+
+def render_vertical_image(seed: int, media_ref: str, truth: str) -> np.ndarray:
+    """Render columns of stacked glyphs (rightmost = first line of truth),
+    then the same seeded rotation + noise as the horizontal tier."""
+    from ms_ocr_spark.extraction.ocr.kernel import rotate_bilinear
+
+    cols = truth.split("\n")
+    n = len(cols)
+    placed = [
+        ((n - 1 - li) * _VCOL_PITCH_FPX, ci * _VCHAR_PITCH_FPX, ch)
+        for li, col in enumerate(cols)
+        for ci, ch in enumerate(col)
+    ]
+    img = render_placed(placed)
+    h = _h(seed, "payload", media_ref)
+    img = rotate_bilinear(img, float(SKEW_DEGREES[h % len(SKEW_DEGREES)]))
+    return _apply_noise(img, h)
+
+
 def render_media_image(seed: int, media_ref: str, truth: str) -> np.ndarray:
     """Render truth text -> rotate (seeded grid angle) -> noise (raw image)."""
     from ms_ocr_spark.extraction.ocr.kernel import rotate_bilinear
@@ -169,7 +203,7 @@ def _spans_for_doc(seed: int, doc_i: int, span_mult: int = 1) -> list[dict]:
 def _gen_chunk(args: tuple) -> tuple[list, list, list]:
     """Generate one contiguous doc range (deterministic per doc index, so
     chunking never changes the corpus)."""
-    lo, hi, n_docs, seed, skew_doc_pct, skew_mult = args
+    lo, hi, n_docs, seed, skew_doc_pct, skew_mult, vertical_pct = args
     doc_rows, media_rows, golden_rows, meta_rows = [], [], [], []
     n_skewed = int(n_docs * skew_doc_pct)
     for i in range(lo, hi):
@@ -188,8 +222,16 @@ def _gen_chunk(args: tuple) -> tuple[list, list, list]:
                 )
             else:
                 ref = f"img-{doc_id}-{off}"
-                truth = make_media_truth(seed, i, off)
-                img = render_media_image(seed, ref, truth)
+                is_vert = (
+                    vertical_pct > 0
+                    and _h(seed, "isvert", i, off) % 1000 < vertical_pct * 1000
+                )
+                if is_vert:
+                    truth = make_vertical_truth(seed, i, off)
+                    img = render_vertical_image(seed, ref, truth)
+                else:
+                    truth = make_media_truth(seed, i, off)
+                    img = render_media_image(seed, ref, truth)
                 media_rows.append(
                     {
                         "media_ref": ref,
@@ -214,8 +256,9 @@ def gen_corpus(
     seed: int = 42,
     skew_doc_pct: float = 0.0,
     skew_mult: int = 50,
+    vertical_pct: float = 0.0,
     processes: int | None = None,
-) -> tuple[pa.Table, pa.Table, pa.Table]:
+) -> tuple[pa.Table, pa.Table, pa.Table, pa.Table]:
     """Build (documents, media_store, golden_spans) arrow tables.
 
     skew_doc_pct > 0 gives that fraction of docs `skew_mult`x the span count
@@ -228,7 +271,9 @@ def gen_corpus(
     chunks = []
     step = max(1, n_docs // (processes * 4) + 1)
     for lo in range(0, n_docs, step):
-        chunks.append((lo, min(lo + step, n_docs), n_docs, seed, skew_doc_pct, skew_mult))
+        chunks.append(
+            (lo, min(lo + step, n_docs), n_docs, seed, skew_doc_pct, skew_mult, vertical_pct)
+        )
     if processes > 1:
         from multiprocessing import Pool
 

@@ -87,3 +87,27 @@ def test_keep_empty_docs(spark, corpus_dir):
     kept = extract_documents(both, media, keep_empty_docs=True)
     row = kept.filter(F.col("doc_id") == "doc-empty").collect()
     assert len(row) == 1 and row[0]["spans"] == []
+
+
+def test_vertical_tier_golden(spark, tmp_path):
+    """ja_vert analog: all-vertical media corpus, columns decoded right to
+    left, golden span equality 100% (orientation auto-detected)."""
+    from ms_ocr_spark.sources.datagen import write_corpus
+
+    paths = write_corpus(str(tmp_path / "vert"), n_docs=24, seed=11, vertical_pct=1.0)
+    docs = spark.read.parquet(paths["documents"])
+    media = spark.read.parquet(paths["media_store"])
+    golden = spark.read.parquet(paths["golden_spans"])
+    _assert_spans_equal(extract_documents(docs, media), golden)
+
+
+def test_mixed_orientation_golden(spark, tmp_path):
+    """Half the media vertical, half horizontal, one corpus — the kernel
+    must pick per image."""
+    from ms_ocr_spark.sources.datagen import write_corpus
+
+    paths = write_corpus(str(tmp_path / "mixed"), n_docs=24, seed=12, vertical_pct=0.5)
+    docs = spark.read.parquet(paths["documents"])
+    media = spark.read.parquet(paths["media_store"])
+    golden = spark.read.parquet(paths["golden_spans"])
+    _assert_spans_equal(extract_documents(docs, media), golden)
