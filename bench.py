@@ -59,6 +59,7 @@ HEADLINE = [
     "table_cells_from_media",
     "table_html_from_media",
     "extract_spans_vertical",
+    "extract_spans_warped",
 ]
 
 

@@ -28,6 +28,11 @@ from .glyphs import ADVANCE, ALPHABET, BG, GLYPH_H, GLYPH_W, SCALE, SPACE_EXTRA,
 
 # Candidate skew grid — matches the generator's rotation grid (datagen).
 SKEW_GRID = np.arange(-3.0, 3.01, 0.5)
+# Candidate x-shear grid (keystone/italic distortion; reference normalizes
+# rotated quads with a 4-pt perspective warp, `engine_realtime/
+# recognizer_crnn.py:15-40` — bounded affine shear is the deterministic
+# analog).  0 first: strict-> search keeps no-shear on ties.
+SHEAR_GRID = (0.0, -0.08, -0.06, -0.04, -0.02, 0.02, 0.04, 0.06, 0.08)
 _BIN_TH = 128
 
 
@@ -76,6 +81,52 @@ def rotate_bilinear(img: np.ndarray, deg: float, fill: int = BG) -> np.ndarray:
     xs = np.arange(nw, dtype=np.float32) - np.float32(ncx)
     sx = np.float32(c) * xs[None, :] + np.float32(s) * ys[:, None] + np.float32(cx)
     sy = np.float32(-s) * xs[None, :] + np.float32(c) * ys[:, None] + np.float32(cy)
+    x0 = np.floor(sx).astype(np.int32)
+    y0 = np.floor(sy).astype(np.int32)
+    fx = sx - x0
+    fy = sy - y0
+    pad = np.full((h + 2, w + 2), np.float32(fill), dtype=np.float32)
+    pad[1 : h + 1, 1 : w + 1] = img
+    ok = (x0 >= -1) & (x0 <= w - 1) & (y0 >= -1) & (y0 <= h - 1)
+    x0c = np.clip(x0 + 1, 0, w)
+    y0c = np.clip(y0 + 1, 0, h)
+    v = (
+        pad[y0c, x0c] * (1 - fx) * (1 - fy)
+        + pad[y0c, x0c + 1] * fx * (1 - fy)
+        + pad[y0c + 1, x0c] * (1 - fx) * fy
+        + pad[y0c + 1, x0c + 1] * fx * fy
+    )
+    out = np.full((nh, nw), np.float32(fill), dtype=np.float32)
+    out[ok] = v[ok]
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def affine_matrix(deg: float, shear: float) -> np.ndarray:
+    """Forward transform R(deg) @ S(shear) about the image center, where
+    S is the x-shear [[1, shear], [0, 1]] acting on (x, y) columns."""
+    th = np.deg2rad(deg)
+    c, s = np.cos(th), np.sin(th)
+    rot = np.array([[c, -s], [s, c]])
+    sh = np.array([[1.0, shear], [0.0, 1.0]])
+    return rot @ sh
+
+
+def warp_bilinear(img: np.ndarray, mat: np.ndarray, fill: int = BG) -> np.ndarray:
+    """General 2x2 affine warp about the image center (bilinear, canvas
+    expanded to the transformed bounding box).  `mat` maps source -> dest
+    coordinates as column vectors (x, y)."""
+    h, w = img.shape
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    corners = np.array([[-cx, -cx, cx, cx], [-cy, cy, -cy, cy]])
+    tc = mat @ corners
+    nw = int(np.ceil(tc[0].max() - tc[0].min())) + 1
+    nh = int(np.ceil(tc[1].max() - tc[1].min())) + 1
+    ncy, ncx = (nh - 1) / 2.0, (nw - 1) / 2.0
+    inv = np.linalg.inv(mat).astype(np.float32)
+    ys = np.arange(nh, dtype=np.float32) - np.float32(ncy)
+    xs = np.arange(nw, dtype=np.float32) - np.float32(ncx)
+    sx = inv[0, 0] * xs[None, :] + inv[0, 1] * ys[:, None] + np.float32(cx)
+    sy = inv[1, 0] * xs[None, :] + inv[1, 1] * ys[:, None] + np.float32(cy)
     x0 = np.floor(sx).astype(np.int32)
     y0 = np.floor(sy).astype(np.int32)
     fx = sx - x0
@@ -369,14 +420,15 @@ _TPL_STACK, _TPL_CHARS = _build_template_stack()
 _TPL_PACKED = np.packbits(_TPL_STACK.reshape(len(_TPL_STACK), -1), axis=1)
 
 
-def _decode_glyph(crop: np.ndarray) -> str:
+def _decode_glyph(crop: np.ndarray) -> tuple[str, int]:
     """Greedy nearest-template decode (reference's argmax-per-step analog,
-    `recognizer_crnn.py:42-59`).
+    `recognizer_crnn.py:42-59`); returns (char, match distance).
 
     The resample round trip jitters component boxes by ~1 px, so the crop
     and four 1-px-trimmed variants are all scored against the full
     (glyph x residual-skew) template stack; global min wins.  One
-    vectorized comparison per variant.
+    vectorized comparison per variant.  The distance doubles as a decode
+    confidence: the shear-retry stage re-decodes only when it is poor.
     """
     th, tw = GLYPH_H * SCALE, GLYPH_W * SCALE
     variants = [crop]
@@ -396,37 +448,32 @@ def _decode_glyph(crop: np.ndarray) -> str:
             # unambiguous: glyph pairs differ by >= 3 font px = 27 device
             # px, so a <= 20 match can't be beaten by another char
             break
-    return best_ch
+    return best_ch, best_d
 
 
-def decode_layout(img: np.ndarray) -> list[list[tuple[tuple[int, int, int, int], str]]]:
-    """Full kernel returning layout: lines of (word bbox, word text).
-
-    Boxes are (x1, y1, x2, y2) exclusive-end in the DESKEWED image space;
-    words are maximal glyph runs whose inter-glyph gap stays below the
-    word-space threshold.  `decode_image` is the text-only view; the table
-    pipeline consumes the boxes (reference cell/text boxes,
-    `engine_paddle/main.py:85-149`).
-    """
-    den = median3(img)
-    mask = binarize(den)
-    corr = estimate_skew(mask)
-    if corr != 0.0:
-        # correct on the denoised grayscale with bilinear resampling —
-        # antialiasing keeps strokes intact through the round trip; the
-        # higher threshold (160 vs 128) compensates double-blur stroke fade
-        mask = binarize(rotate_bilinear(den, corr), 160)
+def _layout_from_mask(
+    mask: np.ndarray,
+) -> tuple[list[list[tuple[tuple[int, int, int, int], str]]], int, int]:
+    """Segment + decode one binary mask; returns (layout, total template
+    distance, glyph count) — the distance is the decode-quality signal
+    driving the shear retry."""
     comps = connected_components(mask)
     # drop specks the median filter let through (reference min-size predicate,
     # `detection_craft/main.py:76-77`)
     comps = [b for b in comps if (b[2] - b[0]) >= 2 and (b[3] - b[1]) >= 2]
     lines_out: list[list[tuple[tuple[int, int, int, int], str]]] = []
+    total_d = n_glyphs = 0
     if is_vertical(mask):
         # vertical tier (reference ja_vert): one space-free word per
         # column, columns in right-to-left reading order
         for column in _group_columns(mask, comps):
             glyph_boxes = _merge_y_overlaps(column)
-            chars = [_decode_glyph(mask[y1:y2, x1:x2]) for x1, y1, x2, y2 in glyph_boxes]
+            chars = []
+            for x1, y1, x2, y2 in glyph_boxes:
+                ch, d = _decode_glyph(mask[y1:y2, x1:x2])
+                chars.append(ch)
+                total_d += d
+                n_glyphs += 1
             bbox = (
                 min(b[0] for b in glyph_boxes),
                 min(b[1] for b in glyph_boxes),
@@ -434,7 +481,7 @@ def decode_layout(img: np.ndarray) -> list[list[tuple[tuple[int, int, int, int],
                 max(b[3] for b in glyph_boxes),
             )
             lines_out.append([(bbox, "".join(chars))])
-        return lines_out
+        return lines_out, total_d, n_glyphs
     space_gap = (ADVANCE - GLYPH_W + SPACE_EXTRA / 2.0) * SCALE  # between inner gap and word gap
     for line in _group_lines(mask, comps):
         glyph_boxes = _merge_x_overlaps(line)
@@ -446,7 +493,10 @@ def decode_layout(img: np.ndarray) -> list[list[tuple[tuple[int, int, int, int],
             if prev_x2 is not None and (x1 - prev_x2) > space_gap:
                 words.append((tuple(wbox), "".join(chars)))
                 chars, wbox = [], None
-            chars.append(_decode_glyph(mask[y1:y2, x1:x2]))
+            ch, d = _decode_glyph(mask[y1:y2, x1:x2])
+            chars.append(ch)
+            total_d += d
+            n_glyphs += 1
             if wbox is None:
                 wbox = [x1, y1, x2, y2]
             else:
@@ -455,7 +505,55 @@ def decode_layout(img: np.ndarray) -> list[list[tuple[tuple[int, int, int, int],
         if chars:
             words.append((tuple(wbox), "".join(chars)))
         lines_out.append(words)
-    return lines_out
+    return lines_out, total_d, n_glyphs
+
+
+# Mean template distance above which the primary decode is considered
+# garbled and shear candidates are tried (unsheared corpus maxes out ~42;
+# shear-garbled segmentations score 80+).  The retry keeps the primary
+# result unless a candidate is STRICTLY better, so a false trigger costs
+# time, never correctness.
+_SHEAR_RETRY_MEAN_DIST = 48.0
+_SHEAR_ACCEPT_MEAN_DIST = 25.0
+
+
+def decode_layout(img: np.ndarray) -> list[list[tuple[tuple[int, int, int, int], str]]]:
+    """Full kernel returning layout: lines of (word bbox, word text).
+
+    Boxes are (x1, y1, x2, y2) exclusive-end in the DESKEWED image space;
+    words are maximal glyph runs whose inter-glyph gap stays below the
+    word-space threshold.  `decode_image` is the text-only view; the table
+    pipeline consumes the boxes (reference cell/text boxes,
+    `engine_paddle/main.py:85-149`).
+
+    Keystone/italic robustness (reference quad normalization,
+    `engine_realtime/recognizer_crnn.py:15-40`): when the deskewed decode
+    scores a poor mean template distance, the kernel re-decodes under each
+    candidate x-shear correction (S(lam) composed with the rotation in ONE
+    bilinear warp) and keeps the minimum-distance result.
+    """
+    den = median3(img)
+    mask = binarize(den)
+    corr = estimate_skew(mask)
+    if corr != 0.0:
+        # correct on the denoised grayscale with bilinear resampling —
+        # antialiasing keeps strokes intact through the round trip; the
+        # higher threshold (160 vs 128) compensates double-blur stroke fade
+        mask = binarize(rotate_bilinear(den, corr), 160)
+    layout, total_d, n = _layout_from_mask(mask)
+    if n == 0 or total_d / n <= _SHEAR_RETRY_MEAN_DIST:
+        return layout
+    best_layout, best_mean = layout, total_d / n
+    for lam in SHEAR_GRID:
+        if lam == 0.0:
+            continue
+        m = np.array([[1.0, lam], [0.0, 1.0]]) @ affine_matrix(corr, 0.0)
+        lay2, d2, n2 = _layout_from_mask(binarize(warp_bilinear(den, m), 160))
+        if n2 and d2 / n2 < best_mean:
+            best_layout, best_mean = lay2, d2 / n2
+            if best_mean <= _SHEAR_ACCEPT_MEAN_DIST:
+                break
+    return best_layout
 
 
 def decode_words(img: np.ndarray) -> list[tuple[int, int, int, int, str]]:

@@ -995,6 +995,44 @@ def _extract_spans_vertical_oracle() -> str:
     return _golden_spans_oracle(_corpus_paths_vertical()["golden_spans"])
 
 
+def _corpus_paths_warped(n_docs: int = 40) -> dict[str, str]:
+    """All media rotated AND x-sheared (keystone tier — reference quad
+    normalization, `engine_realtime/recognizer_crnn.py:15-40`)."""
+    import os
+
+    from ms_ocr_spark.sources.datagen import write_corpus
+
+    cache = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), ".cache", f"corpus_warp_{n_docs}"
+    )
+    return write_corpus(cache, n_docs=n_docs, seed=44, shear_pct=1.0)
+
+
+def extract_spans_warped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keystone-distorted extraction tier: the kernel's distance-gated
+    shear retry recovers rotated+sheared media exactly."""
+    from ms_ocr_spark.extraction.pipeline import extract_documents
+
+    paths = _corpus_paths_warped()
+    docs = spark.read.parquet(paths["documents"])
+    media = spark.read.parquet(paths["media_store"])
+    out = extract_documents(docs, media)
+    return out.select("doc_id", F.posexplode("spans").alias("pos", "span")).select(
+        "doc_id",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
+_REGISTRY.append(("extract_spans_warped", extract_spans_warped, None))
+
+
+def _extract_spans_warped_oracle() -> str:
+    return _golden_spans_oracle(_corpus_paths_warped()["golden_spans"])
+
+
 def media_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata extraction over binary payloads.  Oracle = the
     generator's golden_media_meta parquet (computed from the raw pixels
@@ -1138,6 +1176,7 @@ def _table_html_oracle() -> str:
 _LAZY_ORACLES: dict[str, Callable[[], str]] = {
     "extract_spans": _extract_spans_oracle,
     "extract_spans_vertical": _extract_spans_vertical_oracle,
+    "extract_spans_warped": _extract_spans_warped_oracle,
     "media_image_metadata": _media_meta_oracle,
     "dedup_boxes_keep_first": _keepfirst_golden_oracle,
     "table_cells_from_media": _table_cells_oracle,

@@ -125,6 +125,19 @@ def make_media_truth(seed: int, doc_i: int, off: int) -> str:
     return "\n".join(lines)
 
 
+def render_sheared_image(seed: int, media_ref: str, truth: str) -> np.ndarray:
+    """Rotation + nonzero x-shear in ONE composed warp (keystone tier;
+    the kernel inverts both via its rotation+shear grids)."""
+    from ms_ocr_spark.extraction.ocr.kernel import SHEAR_GRID, affine_matrix, warp_bilinear
+
+    h = _h(seed, "spayload", media_ref)
+    nonzero = [v for v in SHEAR_GRID if v != 0.0]
+    deg = float(SKEW_DEGREES[h % len(SKEW_DEGREES)])
+    lam = float(nonzero[(h >> 8) % len(nonzero)])
+    img = warp_bilinear(render_text(truth), affine_matrix(deg, lam))
+    return _apply_noise(img, h)
+
+
 def make_vertical_truth(seed: int, doc_i: int, off: int) -> str:
     """1-2 vertical columns (3-6 chars each), '\\n'-separated in reading
     order (rightmost column first — reference ja_vert, Tesseract psm 5)."""
@@ -203,7 +216,7 @@ def _spans_for_doc(seed: int, doc_i: int, span_mult: int = 1) -> list[dict]:
 def _gen_chunk(args: tuple) -> tuple[list, list, list]:
     """Generate one contiguous doc range (deterministic per doc index, so
     chunking never changes the corpus)."""
-    lo, hi, n_docs, seed, skew_doc_pct, skew_mult, vertical_pct = args
+    lo, hi, n_docs, seed, skew_doc_pct, skew_mult, vertical_pct, shear_pct = args
     doc_rows, media_rows, golden_rows, meta_rows = [], [], [], []
     n_skewed = int(n_docs * skew_doc_pct)
     for i in range(lo, hi):
@@ -226,9 +239,17 @@ def _gen_chunk(args: tuple) -> tuple[list, list, list]:
                     vertical_pct > 0
                     and _h(seed, "isvert", i, off) % 1000 < vertical_pct * 1000
                 )
+                is_shear = (
+                    not is_vert
+                    and shear_pct > 0
+                    and _h(seed, "isshear", i, off) % 1000 < shear_pct * 1000
+                )
                 if is_vert:
                     truth = make_vertical_truth(seed, i, off)
                     img = render_vertical_image(seed, ref, truth)
+                elif is_shear:
+                    truth = make_media_truth(seed, i, off)
+                    img = render_sheared_image(seed, ref, truth)
                 else:
                     truth = make_media_truth(seed, i, off)
                     img = render_media_image(seed, ref, truth)
@@ -257,6 +278,7 @@ def gen_corpus(
     skew_doc_pct: float = 0.0,
     skew_mult: int = 50,
     vertical_pct: float = 0.0,
+    shear_pct: float = 0.0,
     processes: int | None = None,
 ) -> tuple[pa.Table, pa.Table, pa.Table, pa.Table]:
     """Build (documents, media_store, golden_spans) arrow tables.
@@ -272,7 +294,16 @@ def gen_corpus(
     step = max(1, n_docs // (processes * 4) + 1)
     for lo in range(0, n_docs, step):
         chunks.append(
-            (lo, min(lo + step, n_docs), n_docs, seed, skew_doc_pct, skew_mult, vertical_pct)
+            (
+                lo,
+                min(lo + step, n_docs),
+                n_docs,
+                seed,
+                skew_doc_pct,
+                skew_mult,
+                vertical_pct,
+                shear_pct,
+            )
         )
     if processes > 1:
         from multiprocessing import Pool

@@ -111,3 +111,15 @@ def test_mixed_orientation_golden(spark, tmp_path):
     media = spark.read.parquet(paths["media_store"])
     golden = spark.read.parquet(paths["golden_spans"])
     _assert_spans_equal(extract_documents(docs, media), golden)
+
+
+def test_warped_tier_golden(spark, tmp_path):
+    """Keystone tier: every media span rotated AND x-sheared; the
+    distance-gated shear retry recovers golden span equality 100%."""
+    from ms_ocr_spark.sources.datagen import write_corpus
+
+    paths = write_corpus(str(tmp_path / "warp"), n_docs=24, seed=14, shear_pct=1.0)
+    docs = spark.read.parquet(paths["documents"])
+    media = spark.read.parquet(paths["media_store"])
+    golden = spark.read.parquet(paths["golden_spans"])
+    _assert_spans_equal(extract_documents(docs, media), golden)
