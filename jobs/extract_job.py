@@ -40,6 +40,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--salt-partitions", type=int, default=None)
     p.add_argument("--no-broadcast-media", action="store_true")
     p.add_argument("--two-level-regroup", action="store_true")
+    p.add_argument("--validate-payloads", action="store_true",
+                   help="magic-byte/size admission control before OCR; invalid media -> null text + lineage n_media_missing")
     args = p.parse_args(argv)
 
     from ms_ocr_spark.plans.checkpoint import extraction_metrics, run_with_checkpoints
@@ -58,6 +60,7 @@ def main(argv: list[str] | None = None) -> int:
         broadcast_media=not args.no_broadcast_media,
         salt_partitions=args.salt_partitions,
         two_level_regroup=args.two_level_regroup,
+        validate_payloads=args.validate_payloads,
     )
     metrics = extraction_metrics(spark, args.output).collect()
     print(

@@ -144,6 +144,7 @@ def extract_documents(
     salt_partitions: int | None = None,
     two_level_regroup: bool = False,
     keep_empty_docs: bool = False,
+    validate_payloads: bool = False,
 ) -> DataFrame:
     """Run the full extraction; returns (doc_id, spans) matching golden_spans.
 
@@ -155,6 +156,12 @@ def extract_documents(
     after the explode and would vanish; True re-joins the doc_id spine so
     they appear with an empty output array (costs one extra join — leave
     off when the corpus guarantees non-empty docs).
+
+    `validate_payloads`: admission-control the media payloads JVM-side
+    (magic-byte MIME + 30 MB cap, reference S2-S4) BEFORE the OCR UDF —
+    invalid payloads never enter Python, their spans come out with null
+    text, and they are counted by lineage as n_media_missing; list them
+    with `quarantine_invalid_media` for the side sink.
     """
     flat = explode_spans(docs)
     if salt_partitions:
@@ -171,11 +178,18 @@ def extract_documents(
     if broadcast_media:
         media_side = F.broadcast(media_side)
     joined = flat.join(media_side, "media_ref", "left")
+    payload = F.col("payload")
+    if validate_payloads:
+        from ms_ocr_spark.operators.multimodal import valid_payload_col
+
+        # invalid payloads become NULL before the UDF: they never cross
+        # the Arrow boundary and decode to null text (quarantine signal)
+        payload = F.when(valid_payload_col("payload"), payload)
     with_text = joined.withColumn(
         "out_text",
         F.when(
             F.col("kind") == "text", extract_text_spans(F.col("text"))
-        ).otherwise(ocr_media_spans(F.col("payload"))),
+        ).otherwise(ocr_media_spans(payload)),
     )
 
     cols = ["doc_id", "kind", "out_text", "media_ref", "offset"]
@@ -189,3 +203,33 @@ def extract_documents(
             ).alias("spans"),
         )
     return result
+
+
+def quarantine_invalid_media(docs: DataFrame, media: DataFrame) -> DataFrame:
+    """Side output for the validation gate: media spans whose payload
+    fails admission (unknown magic bytes / oversized / missing) — the
+    relational analog of the reference's upload rejection
+    (`/root/reference/src/controller/Upload.ts:22-32`).  Write this to a
+    quarantine sink next to the main output."""
+    from ms_ocr_spark.operators.multimodal import mime_col, valid_payload_col
+
+    flat = explode_spans(docs).filter(F.col("kind") == "media")
+    joined = flat.join(media.select("media_ref", "payload"), "media_ref", "left")
+    return (
+        joined.withColumn("mime", mime_col("payload"))
+        .withColumn(
+            "reason",
+            F.when(F.col("payload").isNull(), "missing")
+            .when(~valid_payload_col("payload"), "invalid")
+            .otherwise("ok"),
+        )
+        .filter(F.col("reason") != "ok")
+        .select(
+            "doc_id",
+            "offset",
+            "media_ref",
+            "mime",
+            F.length("payload").alias("n_bytes"),
+            "reason",
+        )
+    )

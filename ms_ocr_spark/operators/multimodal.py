@@ -49,28 +49,44 @@ def sniff_format(buf: bytes | None) -> str:
 _MAGIC = {"png": "89504E47", "jpeg": "FFD8FF", "tiff_le": "49492A00", "tiff_be": "4D4D002A"}
 
 
+MAX_MEDIA_BYTES = 30 * 1024 * 1024  # reference size cap, env/local.env:26
+
+
+def mime_col(payload_col: str = "payload"):
+    """JVM-side magic-byte MIME sniff Column (reference S2)."""
+    from pyspark.sql import functions as F
+
+    head = F.upper(F.hex(F.substring(F.col(payload_col), 1, 4)))
+    return (
+        F.when(head.startswith(_MAGIC["png"]), "png")
+        .when(head.startswith(_MAGIC["jpeg"]), "jpeg")
+        .when(head.startswith(_MAGIC["tiff_le"]) | head.startswith(_MAGIC["tiff_be"]), "tiff")
+        .otherwise("unknown")
+    )
+
+
+def valid_payload_col(payload_col: str = "payload", max_bytes: int = MAX_MEDIA_BYTES):
+    """Admission predicate Column: known MIME + size cap (reference
+    S3/S4, `/root/reference/src/HelperSrc.ts:408-430`)."""
+    from pyspark.sql import functions as F
+
+    return (mime_col(payload_col) != "unknown") & (
+        F.length(payload_col) <= max_bytes
+    )
+
+
 def validate_media(
     media: DataFrame,
     payload_col: str = "payload",
-    max_bytes: int = 30 * 1024 * 1024,
+    max_bytes: int = MAX_MEDIA_BYTES,
 ) -> DataFrame:
     """Admission control, JVM-side (no UDF): MIME sniff by magic bytes +
     size cap, reference S2/S3/S4 (`/root/reference/src/HelperSrc.ts:
     184-430`, 30 MB limit `env/local.env:26`).  Adds `mime` and
     `is_valid`; route `~is_valid` rows to a quarantine sink.
     """
-    from pyspark.sql import functions as F
-
-    head = F.upper(F.hex(F.substring(F.col(payload_col), 1, 4)))
-    mime = (
-        F.when(head.startswith(_MAGIC["png"]), "png")
-        .when(head.startswith(_MAGIC["jpeg"]), "jpeg")
-        .when(head.startswith(_MAGIC["tiff_le"]) | head.startswith(_MAGIC["tiff_be"]), "tiff")
-        .otherwise("unknown")
-    )
-    return media.withColumn("mime", mime).withColumn(
-        "is_valid",
-        (F.col("mime") != "unknown") & (F.length(payload_col) <= max_bytes),
+    return media.withColumn("mime", mime_col(payload_col)).withColumn(
+        "is_valid", valid_payload_col(payload_col, max_bytes)
     )
 
 

@@ -123,3 +123,36 @@ def test_warped_tier_golden(spark, tmp_path):
     media = spark.read.parquet(paths["media_store"])
     golden = spark.read.parquet(paths["golden_spans"])
     _assert_spans_equal(extract_documents(docs, media), golden)
+
+
+def test_validate_payloads_quarantines_corrupt_media(spark, corpus_dir):
+    """A corrupt payload row must decode to null text (counted as
+    n_media_missing by lineage) and appear in the quarantine side output —
+    never crash the OCR UDF (reference S2-S4 admission control)."""
+    from ms_ocr_spark.extraction.pipeline import quarantine_invalid_media
+
+    docs, media, _ = _load(spark, corpus_dir)
+    one_ref = media.limit(1).collect()[0]["media_ref"]
+    corrupt = spark.createDataFrame(
+        [(one_ref, bytearray(b"\x00garbage-not-a-png"), "x")], media.schema
+    )
+    patched = media.filter(F.col("media_ref") != one_ref).unionByName(corrupt)
+
+    out = extract_documents(docs, patched, validate_payloads=True)
+    bad = (
+        out.select(F.explode("spans").alias("s"))
+        .filter((F.col("s.media_ref") == one_ref))
+        .collect()
+    )
+    assert len(bad) == 1 and bad[0]["s"]["text"] is None
+
+    q = quarantine_invalid_media(docs, patched).collect()
+    assert len(q) == 1
+    assert q[0]["media_ref"] == one_ref
+    assert q[0]["reason"] == "invalid" and q[0]["mime"] == "unknown"
+
+    # all other spans unaffected
+    n_null = out.select(
+        F.sum(F.size(F.filter("spans", lambda s: s["text"].isNull())))
+    ).collect()[0][0]
+    assert n_null == 1
