@@ -27,20 +27,84 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def encode_gray(img: np.ndarray) -> bytes:
-    """uint8 HxW array -> PNG bytes (color type 0, bit depth 8)."""
+def encode_gray(
+    img: np.ndarray,
+    dpi: float | None = None,
+    icc: tuple[str, bytes] | None = None,
+    exif_orientation: int | None = None,
+) -> bytes:
+    """uint8 HxW array -> PNG bytes (color type 0, bit depth 8).
+
+    Optional ancillary side-values mirror what the reference keeps at
+    decode (`image_processor/main.py:58-63` returns (ndarray, icc, exif)):
+    `dpi` -> pHYs, `icc` = (profile name, profile bytes) -> iCCP,
+    `exif_orientation` -> eXIf with a minimal little-endian TIFF IFD.
+    """
     if img.dtype != np.uint8 or img.ndim != 2:
         raise ValueError("encode_gray expects a 2-D uint8 array")
     h, w = img.shape
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    side = b""
+    if icc is not None:
+        name, profile = icc
+        side += _chunk(b"iCCP", name.encode("latin-1") + b"\x00\x00" + zlib.compress(profile))
+    if dpi is not None:
+        ppm = round(dpi / 0.0254)
+        side += _chunk(b"pHYs", struct.pack(">IIB", ppm, ppm, 1))
+    if exif_orientation is not None:
+        # minimal valid TIFF: LE header -> one IFD with the Orientation
+        # (0x0112) SHORT tag, zero next-IFD pointer
+        tiff = (
+            b"II*\x00\x08\x00\x00\x00"
+            + struct.pack("<H", 1)
+            + struct.pack("<HHI", 0x0112, 3, 1)
+            + struct.pack("<HH", exif_orientation, 0)
+            + struct.pack("<I", 0)
+        )
+        side += _chunk(b"eXIf", tiff)
     # filter byte 0 per scanline
     raw = b"".join(b"\x00" + img[r].tobytes() for r in range(h))
     return (
         _SIGNATURE
         + _chunk(b"IHDR", ihdr)
+        + side
         + _chunk(b"IDAT", zlib.compress(raw, 6))
         + _chunk(b"IEND", b"")
     )
+
+
+def side_values(data: bytes) -> dict:
+    """Parse the ancillary side-values (dpi, ICC, EXIF orientation) this
+    codec writes; unknown/absent chunks yield None fields.  Keeps parity
+    with the reference's decode contract (S5 keeps icc/exif)."""
+    out: dict = {"dpi": None, "icc_name": None, "icc_profile": None, "orientation": None}
+    if data[:8] != _SIGNATURE:
+        return out
+    pos = 8
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"pHYs" and len(payload) == 9:
+            ppm_x, _, unit = struct.unpack(">IIB", payload)
+            if unit == 1:
+                out["dpi"] = round(ppm_x * 0.0254, 4)
+        elif tag == b"iCCP":
+            nul = payload.index(b"\x00")
+            out["icc_name"] = payload[:nul].decode("latin-1")
+            out["icc_profile"] = zlib.decompress(payload[nul + 2 :])
+        elif tag == b"eXIf" and payload[:4] in (b"II*\x00", b"MM\x00*"):
+            if payload[:4] == b"II*\x00" and len(payload) >= 22:
+                n_tags = struct.unpack("<H", payload[8:10])[0]
+                for t in range(n_tags):
+                    off = 10 + 12 * t
+                    tag_id, ttype, _cnt = struct.unpack("<HHI", payload[off : off + 8])
+                    if tag_id == 0x0112 and ttype == 3:
+                        out["orientation"] = struct.unpack("<H", payload[off + 8 : off + 10])[0]
+        elif tag == b"IEND":
+            break
+    return out
 
 
 def _paeth(a: int, b: int, c: int) -> int:

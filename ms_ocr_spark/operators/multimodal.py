@@ -28,6 +28,11 @@ IMAGE_META_SCHEMA = T.StructType(
         T.StructField("ink_ratio", T.DoubleType()),
         T.StructField("mean_intensity", T.DoubleType()),
         T.StructField("format", T.StringType()),
+        # side-values the reference keeps at decode (S5, image_processor/
+        # main.py:58-63): pHYs dpi, iCCP profile name, eXIf orientation
+        T.StructField("dpi", T.DoubleType()),
+        T.StructField("icc_name", T.StringType()),
+        T.StructField("orientation", T.IntegerType()),
     ]
 )
 
@@ -94,7 +99,7 @@ def image_metadata(media: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Decode payloads (real PNG decode) -> per-image metadata rows."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ms_ocr_spark.extraction.ocr.png import decode_gray
+        from ms_ocr_spark.extraction.ocr.png import decode_gray, side_values
 
         for pdf in batches:
             rows = []
@@ -102,6 +107,7 @@ def image_metadata(media: DataFrame, payload_col: str = "payload") -> DataFrame:
                 fmt = sniff_format(bytes(buf) if buf is not None else None)
                 if fmt == "png":
                     img = decode_gray(bytes(buf))
+                    sv = side_values(bytes(buf))
                     # rounded to 6dp with Python round(): bit-identical to
                     # the datagen golden (same expressions on the same
                     # losslessly round-tripped pixels)
@@ -113,10 +119,13 @@ def image_metadata(media: DataFrame, payload_col: str = "payload") -> DataFrame:
                             round(float((img < 128).mean()), 6),
                             round(float(img.mean()), 6),
                             fmt,
+                            sv["dpi"],
+                            sv["icc_name"],
+                            sv["orientation"],
                         )
                     )
                 else:
-                    rows.append((ref, None, None, None, None, fmt))
+                    rows.append((ref, None, None, None, None, fmt, None, None, None))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in IMAGE_META_SCHEMA.fields]
             )

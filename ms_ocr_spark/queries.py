@@ -1049,7 +1049,8 @@ _REGISTRY.append(("media_image_metadata", media_image_metadata, None))
 def _media_meta_oracle() -> str:
     paths = _corpus_paths()
     return (
-        "SELECT media_ref, width, height, ink_ratio, mean_intensity, format "
+        "SELECT media_ref, width, height, ink_ratio, mean_intensity, format, "
+        "dpi, icc_name, orientation "
         f"FROM read_parquet('{paths['golden_media_meta']}')"
     )
 

@@ -49,6 +49,9 @@ MEDIA_META_SCHEMA = pa.schema(
         ("ink_ratio", pa.float64()),
         ("mean_intensity", pa.float64()),
         ("format", pa.string()),
+        ("dpi", pa.float64()),
+        ("icc_name", pa.string()),
+        ("orientation", pa.int32()),
     ]
 )
 
@@ -189,10 +192,33 @@ def render_media_payload(seed: int, media_ref: str, truth: str) -> bytes:
     return encode_gray(render_media_image(seed, media_ref, truth))
 
 
-def image_meta_row(media_ref: str, img: np.ndarray) -> dict:
-    """Golden metadata from the raw image (pre-encode; PNG gray8 is
-    lossless so the engine's decode-then-measure must reproduce this
-    exactly — same expressions as operators/multimodal.image_metadata)."""
+def media_side_values(seed: int, media_ref: str) -> dict:
+    """Deterministic per-image side-values (reference S5 keeps icc/exif at
+    decode, `image_processor/main.py:58-63`): dpi in a pHYs chunk, a
+    synthetic ICC profile in iCCP, EXIF orientation in eXIf."""
+    h = _h(seed, "side", media_ref)
+    dpi = (72.0, 96.0, 150.0, 300.0)[h % 4] if h % 3 else None
+    icc = None
+    if (h >> 4) % 2:
+        profile = hashlib.md5(f"icc:{media_ref}".encode()).digest() * 2
+        icc = ("synthetic-gray", profile)
+    orientation = 1 if (h >> 5) % 2 else None
+    return {"dpi": dpi, "icc": icc, "orientation": orientation}
+
+
+def _dpi_round_trip(dpi: float | None) -> float | None:
+    """pHYs stores integer pixels-per-meter, so the parsed dpi is the
+    integer round trip — the golden stores what a correct parser returns."""
+    if dpi is None:
+        return None
+    return round(round(dpi / 0.0254) * 0.0254, 4)
+
+
+def image_meta_row(media_ref: str, img: np.ndarray, side: dict) -> dict:
+    """Golden metadata from the raw image + generation-time side values
+    (pre-encode; PNG gray8 is lossless so the engine's decode-then-measure
+    must reproduce this exactly — same expressions as
+    operators/multimodal.image_metadata)."""
     return {
         "media_ref": media_ref,
         "width": int(img.shape[1]),
@@ -200,6 +226,9 @@ def image_meta_row(media_ref: str, img: np.ndarray) -> dict:
         "ink_ratio": round(float((img < 128).mean()), 6),
         "mean_intensity": round(float(img.mean()), 6),
         "format": "png",
+        "dpi": _dpi_round_trip(side["dpi"]),
+        "icc_name": side["icc"][0] if side["icc"] else None,
+        "orientation": side["orientation"],
     }
 
 
@@ -253,14 +282,20 @@ def _gen_chunk(args: tuple) -> tuple[list, list, list]:
                 else:
                     truth = make_media_truth(seed, i, off)
                     img = render_media_image(seed, ref, truth)
+                side = media_side_values(seed, ref)
                 media_rows.append(
                     {
                         "media_ref": ref,
-                        "payload": encode_gray(img),
+                        "payload": encode_gray(
+                            img,
+                            dpi=side["dpi"],
+                            icc=side["icc"],
+                            exif_orientation=side["orientation"],
+                        ),
                         "truth_text": truth,
                     }
                 )
-                meta_rows.append(image_meta_row(ref, img))
+                meta_rows.append(image_meta_row(ref, img, side))
                 in_spans.append(
                     {"kind": "media", "text": None, "media_ref": ref, "offset": off}
                 )
@@ -338,7 +373,14 @@ def write_corpus(out_dir: str, n_docs: int, seed: int = 42, **kw) -> dict[str, s
         name: os.path.join(out_dir, f"{name}.parquet")
         for name in ("documents", "media_store", "golden_spans", "golden_media_meta")
     }
-    params = {"n_docs": n_docs, "seed": seed, **{k: kw[k] for k in sorted(kw) if k != "processes"}}
+    # fmt bumps when generation output changes for identical params
+    # (e.g. new ancillary PNG chunks) — stale caches regenerate
+    params = {
+        "fmt": 2,
+        "n_docs": n_docs,
+        "seed": seed,
+        **{k: kw[k] for k in sorted(kw) if k != "processes"},
+    }
     params_path = os.path.join(out_dir, "params.json")
     if all(os.path.exists(p) for p in paths.values()) and os.path.exists(params_path):
         with open(params_path) as f:
