@@ -48,6 +48,7 @@ HEADLINE = [
     "simhash_docs",
     "ann_brute_force_topk",
     "ann_lsh_topk",
+    "ann_lsh_multitable_topk",
     "embedding_neardup_pairs",
     "lang_id_docs",
     "quality_score_docs",

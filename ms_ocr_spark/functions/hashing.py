@@ -53,17 +53,22 @@ def perm_params(n: int) -> list[tuple[int, int]]:
     return out
 
 
-def plane_weights(n_planes: int, dim: int) -> list[list[float]]:
+def plane_weights(n_planes: int, dim: int, table: int = 0) -> list[list[float]]:
     """±1.0 random-hyperplane weights from md5 parity — computed once on
     the driver and embedded as literals in BOTH the Spark plan and the
-    DuckDB oracle (so bucket assignment is engine-independent)."""
+    DuckDB oracle (so bucket assignment is engine-independent).
+
+    `table` selects an independent hash table for OR-amplified multi-table
+    LSH; table 0 keeps the original keys.
+    """
     import hashlib
 
     out = []
     for p in range(n_planes):
         row = []
         for d in range(dim):
-            h = int(hashlib.md5(f"plane:{p}:{d}".encode()).hexdigest()[:2], 16)
+            key = f"plane:{p}:{d}" if table == 0 else f"plane:t{table}:{p}:{d}"
+            h = int(hashlib.md5(key.encode()).hexdigest()[:2], 16)
             row.append(1.0 if h & 1 else -1.0)
         out.append(row)
     return out

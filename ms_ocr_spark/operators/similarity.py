@@ -77,15 +77,16 @@ def brute_force_topk(
     )
 
 
-def lsh_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
+def lsh_bucket(vec: Column, n_planes: int = 8, dim: int = 64, table: int = 0) -> Column:
     """Bucket id = packed sign bits of n_planes ±1 random hyperplanes.
 
     Weights come from `plane_weights` (md5 parity, computed once on the
     driver, embedded as array literals) so the DuckDB oracle assigns the
     exact same buckets.  Each plane's projection is a sequential fold —
-    deterministic FP order.
+    deterministic FP order.  `table` picks an independent plane set for
+    multi-table OR-amplification.
     """
-    weights = plane_weights(n_planes, dim)
+    weights = plane_weights(n_planes, dim, table)
     bucket = F.lit(0)
     for p in range(n_planes):
         w = F.array(*[F.lit(v) for v in weights[p]])
@@ -124,6 +125,53 @@ def lsh_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
     )
+    return top_k_per_group(
+        scored.select("query_id", "neighbor_id", "sim"),
+        ["query_id"],
+        [F.col("sim").desc(), F.col("neighbor_id").asc()],
+        k,
+    )
+
+
+def lsh_topk_multitable(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 3,
+) -> DataFrame:
+    """OR-amplified approximate top-k: candidates match in ANY of
+    `n_tables` independent LSH tables (recall grows ~1-(1-p^planes)^tables
+    while each join stays a bucket equi-join).
+
+    ONE scan of each side: all table buckets are computed as an array and
+    posexploded, so the join key is (table, bucket) — no per-table rescan.
+    Duplicate (query, neighbor) candidates from multiple tables are
+    deduped before scoring.
+    """
+    def buckets(vec: Column) -> Column:
+        return F.posexplode(
+            F.array(*[lsh_bucket(vec, n_planes, table=t) for t in range(n_tables)])
+        )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        buckets(F.col(vec_col)).alias("tbl", "bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        buckets(F.col(vec_col)).alias("tbl", "bucket"),
+    )
+    cand = (
+        q.join(c, ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
     return top_k_per_group(
         scored.select("query_id", "neighbor_id", "sim"),
         ["query_id"],

@@ -728,8 +728,8 @@ def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(q, emb)
 
 
-def _lsh_bucket_sql(vec: str, n_planes: int = 8, dim: int = 64) -> str:
-    weights = plane_weights(n_planes, dim)
+def _lsh_bucket_sql(vec: str, n_planes: int = 8, dim: int = 64, table: int = 0) -> str:
+    weights = plane_weights(n_planes, dim, table)
     parts = []
     for p in range(n_planes):
         lit = "[" + ",".join(str(v) for v in weights[p]) + "]"
@@ -762,6 +762,46 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") % 100 == 0)
     return similarity.lsh_topk(q, emb)
+
+
+_N_LSH_TABLES = 3
+_MT_BUCKETS = ", ".join(
+    f'{_lsh_bucket_sql("embedding", table=t)} AS bk{t}' for t in range(_N_LSH_TABLES)
+)
+_MT_UNIONS = "\n      UNION ALL ".join(
+    f"SELECT q.query_id, c.neighbor_id FROM q JOIN c ON q.bk{t} = c.bk{t} "
+    "WHERE q.query_id != c.neighbor_id"
+    for t in range(_N_LSH_TABLES)
+)
+
+
+@_register(
+    "ann_lsh_multitable_topk",
+    f"""
+    WITH e AS (SELECT vec_id, embedding, {_MT_BUCKETS} FROM embeddings),
+    q AS (SELECT vec_id AS query_id, {", ".join(f"bk{t}" for t in range(_N_LSH_TABLES))}
+          FROM e WHERE vec_id % 100 = 0),
+    c AS (SELECT vec_id AS neighbor_id, {", ".join(f"bk{t}" for t in range(_N_LSH_TABLES))}
+          FROM e),
+    cand AS (SELECT DISTINCT query_id, neighbor_id FROM ({_MT_UNIONS})),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             {_cosine_sql("qe.embedding", "ne.embedding")} AS sim
+      FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
+                JOIN embeddings ne ON ne.vec_id = cand.neighbor_id),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY sim DESC, neighbor_id) AS rn FROM scored)
+    SELECT query_id, neighbor_id, sim, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def ann_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-amplified 3-table LSH ANN: union of per-table bucket joins
+    raises recall over the single-table variant while every join stays a
+    bucket equi-join (the 100-TB scale path)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    return similarity.lsh_topk_multitable(q, emb, n_tables=_N_LSH_TABLES)
 
 
 @_register(
