@@ -143,9 +143,12 @@ def lsh_candidate_pairs(
         )
         for b in range(n_bands)
     ]
+    # persist the (tiny: n_docs x n_bands) key relation: the self-join
+    # references it twice, and without the cache Spark recomputes the
+    # whole shingle-explode + minhash-agg subtree once PER SIDE
     keys = signatures.select(
         id_col, F.inline(F.array(*band_structs))
-    )
+    ).persist()
     a = keys.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = keys.select(F.col(id_col).alias("id_b"), "band", "band_key")
     return (

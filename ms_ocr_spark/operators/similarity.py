@@ -190,9 +190,11 @@ def embedding_neardup_pairs(
     """Near-duplicate pairs by cosine >= threshold, LSH-bucket prefiltered
     (pairs in different buckets are never compared — documented recall
     tradeoff, same bucketing as the oracle)."""
+    # persist: the self-join references the bucketed relation twice and the
+    # 8-plane fold per row is the expensive part — compute it once
     c = corpus.select(
         id_col, vec_col, lsh_bucket(F.col(vec_col), n_planes).alias("bucket")
-    )
+    ).persist()
     a = c.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "bucket"
     )
