@@ -95,3 +95,29 @@ def test_extraction_with_skewed_megadocs(spark, tmp_path):
     r = result.select("doc_id", F.to_json("spans").alias("js"))
     g = golden.select("doc_id", F.to_json("spans").alias("js"))
     assert g.join(r, ["doc_id", "js"]).count() == golden.count()
+
+
+def test_minhash_has_no_salt_explode(spark):
+    """One-pass minhash: 16 permuted hashes travel as columns of one row
+    per (doc, shingle) — the plan must contain NO salt-sequence explode
+    and exactly the two expected shuffles (shingle distinct + per-doc
+    min agg)."""
+    from ms_ocr_spark.queries import minhash_signatures_docs
+
+    plan = _plan(minhash_signatures_docs(spark, "/root/testdata/sf0.001"))
+    assert "sequence(0, 15" not in plan, "salt explode is back"
+    # distinct-shingles + per-doc min agg; Catalyst currently fuses them
+    # into ONE exchange — never more than two
+    assert 1 <= plan.count("Exchange") <= 2
+
+
+def test_lsh_pairs_compute_signatures_once(spark):
+    """The band-key self-join must read a cached relation, not recompute
+    the shingle+minhash subtree once per join side."""
+    from ms_ocr_spark.queries import lsh_candidate_pairs_docs
+
+    plan = _plan(lsh_candidate_pairs_docs(spark, "/root/testdata/sf0.001"))
+    # both self-join sides must read the CACHED band keys (the minhash
+    # subtree inside InMemoryRelation executes once, however often its
+    # plan text is printed)
+    assert plan.count("InMemoryTableScan") >= 2
