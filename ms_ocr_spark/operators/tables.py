@@ -164,20 +164,17 @@ def _covered_pred(m, row, col):
 
 def _cells_flagged(grid_m: DataFrame, doc_col: str) -> DataFrame:
     """(doc, row_idx, col_idx, cell_text, row_span, col_span, n_texts,
-    is_covered) — one row per occupied grid position; multi-hit positions
-    concatenate " "-joined in (y1, x1) scan order (reference
-    `_buildDataFrame` :197-201).  Covered-ness comes from a window-
-    collected per-doc merge array (join-free: keeps the OCR subtree single
-    in the plan)."""
-    ordered = F.array_sort(
-        F.collect_list(F.struct(F.col("y1"), F.col("x1"), F.col("text")))
-    )
-    agg = grid_m.groupBy(doc_col, "row_idx", "col_idx").agg(
-        F.concat_ws(" ", F.transform(ordered, lambda s: s["text"])).alias("cell_text"),
-        F.max("row_span").alias("row_span"),
-        F.max("col_span").alias("col_span"),
-        F.count(F.lit(1)).alias("n_texts"),
-    )
+    is_covered, _merges) — one row per occupied grid position; multi-hit
+    positions concatenate " "-joined in (y1, x1) scan order (reference
+    `_buildDataFrame` :197-201).
+
+    Covered-ness is computed from the per-RAW-cell merge rectangles
+    (window-collected per doc, join-free): the reference's cellMergeList
+    unions each individual cell's range (`:184-189`), so aggregating
+    max(row_span), max(col_span) per position FIRST would fabricate a
+    diagonal cover no single cell has (e.g. members (2,1)+(1,2) do not
+    cover (+1,+1)).
+    """
     w = Window.partitionBy(doc_col)
     merges_arr = F.collect_list(
         F.when(
@@ -185,9 +182,20 @@ def _cells_flagged(grid_m: DataFrame, doc_col: str) -> DataFrame:
             F.struct("row_idx", "col_idx", "row_span", "col_span"),
         )
     ).over(w)
-    return agg.withColumn("_merges", merges_arr).withColumn(
+    raw = grid_m.withColumn("_merges", merges_arr).withColumn(
         "is_covered",
         F.exists("_merges", lambda m: _covered_pred(m, F.col("row_idx"), F.col("col_idx"))),
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("y1"), F.col("x1"), F.col("text")))
+    )
+    return raw.groupBy(doc_col, "row_idx", "col_idx").agg(
+        F.concat_ws(" ", F.transform(ordered, lambda s: s["text"])).alias("cell_text"),
+        F.max("row_span").alias("row_span"),
+        F.max("col_span").alias("col_span"),
+        F.count(F.lit(1)).alias("n_texts"),
+        F.max("is_covered").alias("is_covered"),
+        F.first("_merges").alias("_merges"),
     )
 
 
@@ -208,19 +216,22 @@ def table_html(grid_m: DataFrame, doc_col: str = "doc_id") -> DataFrame:
     empty td; \\n -> <br>).  One grouped collect per doc, then pure
     higher-order-function string assembly over the tiny per-doc cell array
     — no driver loops, no self-joins (single OCR pass in the plan)."""
-    flagged = _cells_flagged(grid_m, doc_col).drop("_merges")
+    flagged = _cells_flagged(grid_m, doc_col)
     per_doc = flagged.groupBy(doc_col).agg(
         F.collect_list(
             F.struct(
                 "row_idx", "col_idx", "cell_text", "row_span", "col_span", "is_covered"
             )
-        ).alias("cs")
+        ).alias("cs"),
+        F.first("_merges").alias("_merges"),
     )
     n_rows = F.array_max(F.transform("cs", lambda c: c["row_idx"])) + 1
     n_cols = F.array_max(F.transform("cs", lambda c: c["col_idx"])) + 1
 
     def td(r, c):
-        covered = F.exists("cs", lambda m: _covered_pred(m, r, c))
+        # coverage from the per-RAW-cell merge rectangles (see
+        # _cells_flagged) — also handles covered positions with no cell
+        covered = F.exists("_merges", lambda m: _covered_pred(m, r, c))
         hit = F.get(
             F.filter(
                 "cs",
