@@ -62,6 +62,12 @@ def main(argv: list[str] | None = None) -> int:
         two_level_regroup=args.two_level_regroup,
         validate_payloads=args.validate_payloads,
     )
+    if args.validate_payloads:
+        from ms_ocr_spark.extraction.pipeline import quarantine_invalid_media
+
+        quarantine_invalid_media(docs, media).write.mode("overwrite").parquet(
+            f"{args.output.rstrip('/')}/_quarantine"
+        )
     metrics = extraction_metrics(spark, args.output).collect()
     print(
         json.dumps(
