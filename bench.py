@@ -57,6 +57,7 @@ HEADLINE = [
     "sequence_events",
     "cube_lineitem",
     "distinct_users_by_type",
+    "scalar_functions_events",
     "table_cells_from_media",
     "table_html_from_media",
     "extract_spans_vertical",

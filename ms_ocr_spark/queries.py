@@ -1309,6 +1309,52 @@ def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
 )
+@_register(
+    "scalar_functions_events",
+    """
+    WITH p AS (
+      SELECT event_id, event_type, props, ts,
+             'files/' || event_type || '/' || CAST(event_id AS VARCHAR)
+               || CASE WHEN event_id % 2 = 0 THEN '.PNG' ELSE '.jpg' END AS path,
+             'x' || chr(27) || '[31m' || event_type || chr(27) || '[0m' AS ansi_text
+      FROM events)
+    SELECT event_id,
+           regexp_replace(split_part(path, '/', -1), '\\.[^.]*$', '') AS base_name,
+           lower(split_part(split_part(path, '/', -1), '.', -1)) AS extension,
+           sha256('j:' || CAST(event_id AS VARCHAR)) AS uid,
+           to_base64(encode(props)) AS props_b64,
+           regexp_replace(ansi_text, '\\x1b\\[[0-9;]*[a-zA-Z]', '', 'g') AS clean_text,
+           strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') AS iso_time
+    FROM p
+    """,
+)
+def scalar_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function surface in one oracle-checked pass (SURVEY §2.7
+    F6 basename/ext, F9 uid, F10 base64, F12 ISO format, F13 ANSI strip)."""
+    from ms_ocr_spark.functions import scalars as S
+
+    ev = _t(spark, sf_dir, "events")
+    path = F.concat(
+        F.lit("files/"),
+        F.col("event_type"),
+        F.lit("/"),
+        F.col("event_id").cast("string"),
+        F.when(F.col("event_id") % 2 == 0, F.lit(".PNG")).otherwise(F.lit(".jpg")),
+    )
+    ansi_text = F.concat(
+        F.lit("x\x1b[31m"), F.col("event_type"), F.lit("\x1b[0m")
+    )
+    return ev.select(
+        "event_id",
+        S.file_basename(path).alias("base_name"),
+        S.file_extension(path).alias("extension"),
+        S.stable_doc_uid(F.col("event_id"), "j").alias("uid"),
+        S.b64(F.col("props").cast("binary")).alias("props_b64"),
+        S.strip_ansi(ansi_text).alias("clean_text"),
+        S.iso_ts(F.col("ts")).alias("iso_time"),
+    )
+
+
 def search_match_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P11 search-match over documents.  The Spark side runs the full
     reference chain (NFKC pandas UDF -> casefold -> space strip ->
