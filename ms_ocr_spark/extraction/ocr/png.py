@@ -139,6 +139,11 @@ def decode_gray(data: bytes) -> np.ndarray:
         raise ValueError("missing IHDR")
     raw = zlib.decompress(bytes(idat))
     stride = width + 1
+    flat = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride)
+    if not flat[:, 0].any():
+        # fast path: every scanline uses filter 0 (what encode_gray writes)
+        # — one reshape, no per-row Python loop or int64 widening
+        return flat[:, 1:].copy()
     out = np.zeros((height, width), dtype=np.uint8)
     prev = np.zeros(width, dtype=np.int64)
     for r in range(height):
