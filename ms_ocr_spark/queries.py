@@ -41,6 +41,8 @@ _REGISTRY: list[tuple[str, QueryFn, str | None]] = []
 
 def _register(name: str, sql: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
+        if any(n == name for n, _, _ in _REGISTRY):
+            raise ValueError(f"duplicate query registration: {name}")
         _REGISTRY.append((name, fn, sql))
         return fn
 
@@ -1302,14 +1304,6 @@ def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "search_match_docs",
-    """
-    SELECT doc_id,
-           COALESCE(contains(replace(lower(text), ' ', ''), 'sparkwindow'), FALSE) AS is_match
-    FROM documents
-    """,
-)
-@_register(
     "scalar_functions_events",
     """
     WITH p AS (
@@ -1355,6 +1349,14 @@ def scalar_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "search_match_docs",
+    """
+    SELECT doc_id,
+           COALESCE(contains(replace(lower(text), ' ', ''), 'sparkwindow'), FALSE) AS is_match
+    FROM documents
+    """,
+)
 def search_match_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P11 search-match over documents.  The Spark side runs the full
     reference chain (NFKC pandas UDF -> casefold -> space strip ->
