@@ -104,6 +104,7 @@ def test_minhash_has_no_salt_explode(spark):
     min agg)."""
     from ms_ocr_spark.queries import minhash_signatures_docs
 
+    spark.catalog.clearCache()  # cached shingles from other tests change the shape
     plan = _plan(minhash_signatures_docs(spark, "/root/testdata/sf0.001"))
     assert "sequence(0, 15" not in plan, "salt explode is back"
     # distinct-shingles + per-doc min agg; Catalyst currently fuses them
