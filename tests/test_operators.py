@@ -123,3 +123,44 @@ def test_pushdown_reaches_parquet_scan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,42)]" in plan
     assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_minhash_lsh_finds_planted_near_duplicates(spark):
+    """Recall check on PLANTED near-dups: high-similarity pairs
+    (~2 mutated tokens of 60 -> Jaccard ~0.8) must surface as LSH
+    candidates (32 hashes / 8 bands: any-band match p ~0.99 at j=0.8)
+    and pass Jaccard >= 0.5; unrelated docs must not pair up.  The
+    16-hash default trades recall near j~0.55 for shuffle volume —
+    num_hashes is the scale/recall knob."""
+    import numpy as np
+
+    from ms_ocr_spark.operators import dedup
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(500)]
+    rows = []
+    planted = set()
+    for fam in range(12):
+        base = [vocab[i] for i in rng.choice(len(vocab), 60, replace=False)]
+        rows.append((fam * 10, " ".join(base)))
+        # near-dup: perturb ~8% of tokens
+        mut = list(base)
+        for j in rng.choice(60, 2, replace=False):
+            mut[j] = vocab[int(rng.integers(len(vocab)))]
+        rows.append((fam * 10 + 1, " ".join(mut)))
+        planted.add((fam * 10, fam * 10 + 1))
+    for i in range(40):  # unrelated noise docs
+        toks = [vocab[k] for k in rng.choice(len(vocab), 60, replace=False)]
+        rows.append((1000 + i, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sh = dedup.shingles(docs).persist()
+    pairs = dedup.lsh_candidate_pairs(
+        dedup.minhash_signature_arrays(sh, num_hashes=32), num_hashes=32
+    )
+    verified = dedup.jaccard_verify(pairs, docs, threshold=0.5, shingles_df=sh)
+    got = {(r["id_a"], r["id_b"]) for r in verified.collect()}
+    missed = planted - got
+    spurious = got - planted
+    assert not missed, f"LSH+Jaccard missed planted near-dups: {missed}"
+    assert not spurious, f"spurious pairs above threshold: {spurious}"
