@@ -107,3 +107,39 @@ def test_extract_job_cli(spark, corpus_dir, tmp_path):
     assert read_output(spark, out).count() == golden.count()
     assert extract_job.main(args) == 0  # resume: no duplicates
     assert read_output(spark, out).count() == golden.count()
+
+
+def test_streaming_second_epoch_exactly_once(spark, corpus_dir, tmp_path):
+    """New files landing later are extracted exactly once: re-running the
+    stream with the same checkpoint skips epoch-1 files and emits only the
+    new docs; the union has no duplicates."""
+    from ms_ocr_spark.sources.datagen import write_corpus
+    from ms_ocr_spark.streaming.incremental import stream_extract
+
+    # corpus generation is deterministic per doc INDEX, so a 70-doc corpus
+    # at the same seed is a strict superset of the shared 60-doc fixture:
+    # docs 60..69 are a brand-new second batch with consistent media refs
+    import duckdb
+
+    big = write_corpus(str(tmp_path / "c70"), n_docs=70, seed=42)
+    media = spark.read.parquet(big["media_store"])
+    batch2 = str(tmp_path / "batch2.parquet")
+    duckdb.sql(
+        f"COPY (SELECT * FROM read_parquet('{big['documents']}') "
+        "WHERE doc_id >= 'doc-00000060') TO '" + batch2 + "' (FORMAT PARQUET)"
+    )
+    docs_dir = tmp_path / "docs_in"
+    docs_dir.mkdir()
+    (docs_dir / "batch1.parquet").symlink_to(f"{corpus_dir}/documents.parquet")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    q = stream_extract(spark, str(docs_dir), media, out, ckpt)
+    q.awaitTermination(300)
+    n1 = spark.read.parquet(out + "/epoch=*").count()
+
+    (docs_dir / "batch2.parquet").symlink_to(batch2)
+    q2 = stream_extract(spark, str(docs_dir), media, out, ckpt)
+    q2.awaitTermination(300)
+    result = spark.read.parquet(out + "/epoch=*")
+    assert result.count() == n1 + 10
+    assert result.select("doc_id").distinct().count() == result.count()
