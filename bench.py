@@ -45,6 +45,7 @@ HEADLINE = [
     "minhash_signatures_docs",
     "lsh_candidate_pairs_docs",
     "ngram_jaccard_pairs",
+    "dedup_keepers_docs",
     "simhash_docs",
     "ann_brute_force_topk",
     "ann_lsh_topk",

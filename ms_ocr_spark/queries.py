@@ -665,6 +665,53 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
 
 
+@_register(
+    "dedup_keepers_docs",
+    f"""
+    WITH {_MINHASH_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
+      FROM pairs p JOIN sh a ON a.doc_id = p.id_a
+                   JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+      GROUP BY p.id_a, p.id_b),
+    near_losers AS (
+      SELECT DISTINCT i.id_b AS doc_id
+      FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+                   JOIN sizes sb ON sb.doc_id = i.id_b
+      WHERE i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.5),
+    exact_losers AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+        FROM documents) WHERE doc_id != keeper)
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM exact_losers)
+      AND doc_id NOT IN (SELECT doc_id FROM near_losers)
+    """,
+)
+def dedup_keepers_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone training-data dedup pipeline: exact dedup (md5 clusters,
+    min-id keeper) + MinHash-LSH candidates + exact Jaccard >= 0.5 verify;
+    losers = non-keeper exact dups ∪ the larger id of each verified
+    near-dup pair.  Everything shares ONE persisted shingle relation."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs).persist()
+    pairs = dedup.lsh_candidate_pairs(dedup.minhash_signature_arrays(sh))
+    near = dedup.jaccard_verify(pairs, docs, threshold=0.5, shingles_df=sh)
+    near_losers = near.select(F.col("id_b").alias("doc_id")).distinct()
+    w = Window.partitionBy(F.md5("text"))
+    exact_losers = (
+        docs.withColumn("keeper", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select("doc_id")
+    )
+    return (
+        docs.select("doc_id")
+        .join(exact_losers, "doc_id", "left_anti")
+        .join(near_losers, "doc_id", "left_anti")
+    )
+
+
 def _simhash_sql(bits: int = 16) -> str:
     h = md5_long_sql("tok")
     bit_sums = ", ".join(
