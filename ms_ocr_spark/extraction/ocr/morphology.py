@@ -84,3 +84,41 @@ def noise_remove(img: np.ndarray, th: int = 128) -> np.ndarray:
     k = max(1, int(np.sqrt(mean_area) / 4))
     opened = dilate(erode(img, k, k), k, k)  # open: erode then dilate (ink=dark)
     return opened
+
+
+def heatmap(img: np.ndarray) -> np.ndarray:
+    """Min-max normalize a float score map and colorize it JET-style to
+    HxWx3 uint8 (reference K13, `/root/reference/src/library/
+    image_processor/main.py:325-328` — debug visualization)."""
+    f = img.astype(np.float64)
+    lo, hi = float(f.min()), float(f.max())
+    norm = np.zeros_like(f) if hi == lo else (f - lo) / (hi - lo)
+    # piecewise-linear JET approximation on [0, 1]
+    r = np.clip(1.5 - np.abs(4 * norm - 3), 0, 1)
+    g = np.clip(1.5 - np.abs(4 * norm - 2), 0, 1)
+    b = np.clip(1.5 - np.abs(4 * norm - 1), 0, 1)
+    return (np.stack([r, g, b], axis=-1) * 255).astype(np.uint8)
+
+
+def draw_rectangles(
+    img: np.ndarray,
+    boxes: list[tuple[int, int, int, int]],
+    value: int = 0,
+    thickness: int = 1,
+) -> np.ndarray:
+    """Draw box outlines on a grayscale image (reference K14 `rectangle`,
+    `image_processor/main.py:253-254` — debug overlay).  Boxes are
+    (x1, y1, x2, y2) exclusive-end, clipped to the canvas."""
+    out = img.copy()
+    h, w = out.shape
+    for x1, y1, x2, y2 in boxes:
+        x1c, y1c = max(0, x1), max(0, y1)
+        x2c, y2c = min(w, x2), min(h, y2)
+        if x2c <= x1c or y2c <= y1c:
+            continue
+        t = thickness
+        out[y1c : min(y1c + t, y2c), x1c:x2c] = value
+        out[max(y2c - t, y1c) : y2c, x1c:x2c] = value
+        out[y1c:y2c, x1c : min(x1c + t, x2c)] = value
+        out[y1c:y2c, max(x2c - t, x1c) : x2c] = value
+    return out

@@ -80,3 +80,23 @@ def test_validate_media(spark, corpus_dir):
     assert all(v == ("png", True) for v in rows.values())
     tiny = validate_media(media, max_bytes=10)
     assert tiny.filter(F.col("is_valid")).count() == 0
+
+
+def test_heatmap_and_draw():
+    import numpy as np
+
+    from ms_ocr_spark.extraction.ocr.morphology import draw_rectangles, heatmap
+
+    score = np.array([[0.0, 0.5], [0.75, 1.0]])
+    hm = heatmap(score)
+    assert hm.shape == (2, 2, 3) and hm.dtype == np.uint8
+    assert hm[0, 0, 2] > hm[0, 0, 0]  # cold pixel is blue-dominant
+    assert hm[1, 1, 0] > hm[1, 1, 2]  # hot pixel is red-dominant
+    flat = heatmap(np.zeros((3, 3)))  # constant map: no div-by-zero
+    assert flat.shape == (3, 3, 3)
+
+    img = np.full((10, 12), 255, dtype=np.uint8)
+    out = draw_rectangles(img, [(2, 3, 8, 7), (-5, -5, 3, 2)])
+    assert out[3, 2] == 0 and out[6, 7] == 0  # outline corners inked
+    assert out[5, 5] == 255  # interior untouched
+    assert (img == 255).all()  # input not mutated
