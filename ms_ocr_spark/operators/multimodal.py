@@ -175,6 +175,27 @@ def image_resize(
     )
 
 
+def snap_to_multiple(h: int, w: int, multiple: int = 32, search: int = 10) -> tuple[int, int]:
+    """Snap (h, w) to multiples of `multiple` minimizing aspect-ratio
+    error over +/- `search` steps (reference K2 `resizeMultiple`,
+    `/root/reference/src/library/image_processor/main.py:65-143` — CNN
+    stride alignment).  Deterministic: smallest error wins, ties to the
+    smaller size."""
+    aspect = w / h
+    base_h = max(multiple, round(h / multiple) * multiple)
+    best = None
+    for dh in range(-search, search + 1):
+        nh = base_h + dh * multiple
+        if nh < multiple:
+            continue
+        nw = max(multiple, round(nh * aspect / multiple) * multiple)
+        err = abs(nw / nh - aspect)
+        key = (err, nh, nw)
+        if best is None or key < best:
+            best = key
+    return best[1], best[2]
+
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("media_ref", T.StringType()),

@@ -83,6 +83,15 @@ _XLSX_STATIC = {
 }
 
 
+def display_width(s: str) -> int:
+    """East-Asian display width (reference F5 `_unicodeTextLength`,
+    `/root/reference/src/library/data_to_table/main.py:22-33`): wide/
+    fullwidth characters count 2 columns, everything else 1."""
+    import unicodedata
+
+    return sum(2 if unicodedata.east_asian_width(ch) in ("W", "F") else 1 for ch in s)
+
+
 def xlsx_from_cells(cells: list[dict]) -> bytes:
     """One-worksheet XLSX from matrix cells
     [{row_idx, col_idx, cell_text, row_span, col_span}, ...] — inline
@@ -116,10 +125,26 @@ def xlsx_from_cells(cells: list[dict]) -> bytes:
         if merges
         else ""
     )
+    # column widths from the widest cell's DISPLAY width (reference
+    # `_excel` auto-sizing uses the East-Asian width, main.py:160-173)
+    col_w: dict[int, int] = {}
+    for c in cells:
+        ci = c["col_idx"]
+        col_w[ci] = max(col_w.get(ci, 0), display_width(str(c["cell_text"])))
+    cols_xml = (
+        "<cols>"
+        + "".join(
+            f'<col min="{ci + 1}" max="{ci + 1}" width="{w + 2}" customWidth="1"/>'
+            for ci, w in sorted(col_w.items())
+        )
+        + "</cols>"
+        if col_w
+        else ""
+    )
     sheet = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
-        f"<sheetData>{''.join(rows_xml)}</sheetData>{merge_xml}</worksheet>"
+        f"{cols_xml}<sheetData>{''.join(rows_xml)}</sheetData>{merge_xml}</worksheet>"
     )
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:

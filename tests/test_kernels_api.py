@@ -100,3 +100,32 @@ def test_heatmap_and_draw():
     assert out[3, 2] == 0 and out[6, 7] == 0  # outline corners inked
     assert out[5, 5] == 255  # interior untouched
     assert (img == 255).all()  # input not mutated
+
+
+def test_snap_to_multiple():
+    from ms_ocr_spark.operators.multimodal import snap_to_multiple
+
+    h, w = snap_to_multiple(100, 200)
+    assert h % 32 == 0 and w % 32 == 0
+    assert abs(w / h - 2.0) < 0.35
+    assert snap_to_multiple(5, 5) == (32, 32)  # floor at one stride
+    # deterministic
+    assert snap_to_multiple(737, 1051) == snap_to_multiple(737, 1051)
+
+
+def test_xlsx_column_widths_east_asian():
+    import io
+    import zipfile
+
+    from ms_ocr_spark.operators.sinks import display_width, xlsx_from_cells
+
+    assert display_width("abc") == 3
+    assert display_width("ＡＢ") == 4  # fullwidth counts double
+    cells = [
+        {"doc_id": "d", "row_idx": 0, "col_idx": 0, "cell_text": "ＡＢ", "row_span": 1, "col_span": 1},
+        {"doc_id": "d", "row_idx": 0, "col_idx": 1, "cell_text": "xy", "row_span": 1, "col_span": 1},
+    ]
+    with zipfile.ZipFile(io.BytesIO(xlsx_from_cells(cells))) as z:
+        sheet = z.read("xl/worksheets/sheet1.xml").decode()
+    assert '<col min="1" max="1" width="6" customWidth="1"/>' in sheet  # 4+2
+    assert '<col min="2" max="2" width="4" customWidth="1"/>' in sheet  # 2+2
