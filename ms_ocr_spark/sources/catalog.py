@@ -61,6 +61,25 @@ def overwrite_partition(df: DataFrame, target: str, partition_subdir: str) -> No
         df.write.mode("overwrite").parquet(f"{target}/{partition_subdir}")
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table bucketed+sorted on the join key: two tables
+    bucketed the same way join WITHOUT a shuffle (the at-scale recipe for
+    repeated media_ref / doc_id joins — SURVEY.md §4; Iceberg's hidden
+    `bucket(key)` partitioning is the lakehouse equivalent)."""
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .saveAsTable(table)
+    )
+
+
 def expire_old(spark: SparkSession, target: str, older_than_ts: str) -> None:
     """Retention maintenance (reference S13 TTL sweep analog):
     Iceberg expire_snapshots, or a no-op marker on plain parquet."""

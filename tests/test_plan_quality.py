@@ -122,3 +122,42 @@ def test_lsh_pairs_compute_signatures_once(spark):
     # subtree inside InMemoryRelation executes once, however often its
     # plan text is printed)
     assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_bucketed_join_has_no_shuffle(spark, corpus_dir):
+    """Two tables bucketed on the join key join with ZERO exchanges —
+    the co-location recipe for the recurring media_ref join at 100 TB."""
+    from ms_ocr_spark.sources.catalog import write_bucketed
+
+    media = spark.read.parquet(f"{corpus_dir}/media_store.parquet")
+    refs = media.select("media_ref", F.length("payload").alias("n_bytes"))
+    write_bucketed(media.select("media_ref", "truth_text"), "b_media", "media_ref", 8)
+    write_bucketed(refs, "b_refs", "media_ref", 8)
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("b_media").join(spark.table("b_refs"), "media_ref")
+            plan = _plan(joined)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert "Exchange" not in plan, "bucketed join should be shuffle-free"
+        assert "SortMergeJoin" in plan
+        assert joined.count() == media.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_media")
+        spark.sql("DROP TABLE IF EXISTS b_refs")
+
+
+def test_partition_pruning_on_partitioned_output(spark, corpus_dir, tmp_path):
+    """partitionBy output + key filter -> only matching partitions scanned
+    (PartitionFilters in the scan, not a post-scan filter)."""
+    media = spark.read.parquet(f"{corpus_dir}/media_store.parquet")
+    out = str(tmp_path / "by_bucket")
+    media.withColumn(
+        "bucket", F.pmod(F.xxhash64("media_ref"), F.lit(4)).cast("int")
+    ).write.partitionBy("bucket").parquet(out)
+    df = spark.read.parquet(out).filter(F.col("bucket") == 2)
+    plan = _plan(df)
+    assert "PartitionFilters: [isnotnull(bucket" in plan or "PartitionFilters: [(bucket" in plan
+    assert df.count() > 0
