@@ -80,13 +80,38 @@ def write_bucketed(
     )
 
 
-def expire_old(spark: SparkSession, target: str, older_than_ts: str) -> None:
-    """Retention maintenance (reference S13 TTL sweep analog):
-    Iceberg expire_snapshots, or a no-op marker on plain parquet."""
+def expire_old(spark: SparkSession, target: str, older_than_ts: str) -> list[str]:
+    """Retention maintenance (reference S13 TTL sweep,
+    `/root/reference/script/cronjob_input.sh` + 600 s TTL
+    `env/local.env:27`): Iceberg expire_snapshots on a catalog table; on a
+    plain filesystem layout, delete checkpoint-output entries (data
+    partitions + lineage markers) whose modification time predates the
+    cutoff, through the path's Hadoop FileSystem.  Returns deleted paths.
+    """
     if _iceberg_available(spark, target):
         spark.sql(
             f"CALL {target.split('.', 1)[0]}.system.expire_snapshots("
             f"table => '{target}', older_than => TIMESTAMP '{older_than_ts}')"
         )
-    # plain parquet: retention handled by the checkpoint layout (buckets
-    # are overwritten in place; no snapshot garbage accumulates)
+        return []
+    import datetime
+
+    cutoff_ms = int(
+        datetime.datetime.fromisoformat(older_than_ts)
+        .replace(tzinfo=datetime.timezone.utc)
+        .timestamp()
+        * 1000
+    )
+    jvm = spark._jvm
+    deleted: list[str] = []
+    for sub in ("data", "_lineage"):
+        root = jvm.org.apache.hadoop.fs.Path(f"{target.rstrip('/')}/{sub}")
+        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(root):
+            continue
+        for status in fs.listStatus(root):
+            if status.getModificationTime() < cutoff_ms:
+                p = status.getPath()
+                fs.delete(p, True)
+                deleted.append(p.toString())
+    return deleted

@@ -143,3 +143,30 @@ def test_streaming_second_epoch_exactly_once(spark, corpus_dir, tmp_path):
     result = spark.read.parquet(out + "/epoch=*")
     assert result.count() == n1 + 10
     assert result.select("doc_id").distinct().count() == result.count()
+
+
+def test_expire_old_sweeps_stale_buckets(spark, corpus_dir, tmp_path):
+    """S13 retention sweep on the plain-filesystem layout: entries older
+    than the cutoff are deleted (data partitions + lineage markers),
+    newer ones survive."""
+    import datetime
+
+    from ms_ocr_spark.sources.catalog import expire_old
+
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    media = spark.read.parquet(f"{corpus_dir}/media_store.parquet")
+    out = str(tmp_path / "ttl_out")
+    cp.run_with_checkpoints(spark, docs, media, out, job_id="t", n_buckets=4)
+    assert cp.read_output(spark, out).count() > 0
+
+    past = (
+        datetime.datetime.now(datetime.timezone.utc) - datetime.timedelta(hours=1)
+    ).strftime("%Y-%m-%dT%H:%M:%S")
+    assert expire_old(spark, out, past) == []  # nothing older than 1h ago
+
+    future = (
+        datetime.datetime.now(datetime.timezone.utc) + datetime.timedelta(hours=1)
+    ).strftime("%Y-%m-%dT%H:%M:%S")
+    deleted = expire_old(spark, out, future)  # everything predates +1h
+    assert len(deleted) == 8  # 4 bucket dirs + 4 lineage markers
+    assert cp.completed_buckets(spark, out, "t", 4) == set()
