@@ -1222,7 +1222,10 @@ def _table_grid_df(spark: SparkSession) -> DataFrame:
     from ms_ocr_spark.operators.tables import detect_merges, grid_from_boxes, ocr_boxes
 
     media = spark.read.parquet(_table_corpus_paths()["tables_media"])
-    return detect_merges(grid_from_boxes(ocr_boxes(media)))
+    # persist: the cells and html queries build the identical plan, and
+    # Spark's cache manager dedupes by plan — the OCR pass runs once for
+    # both instead of once per query
+    return detect_merges(grid_from_boxes(ocr_boxes(media))).persist()
 
 
 def table_cells_from_media(spark: SparkSession, sf_dir: str) -> DataFrame:
