@@ -250,7 +250,10 @@ def main() -> None:
     # functioning host still scales.  The probe ratios are reported so the
     # choice is auditable.
     cores_before = effective_cores()
-    probe = kernel_pool_control(n_imgs=1500, pairs=((2, 8),))
+    # probe BOTH candidate pairs: the (1,4) control rides along so a
+    # fully-saturated window (where even 1->4 cannot scale without Spark)
+    # is self-documented in the JSON next to whatever the job measured
+    probe = kernel_pool_control(n_imgs=1500, pairs=((2, 8), (1, 4)))
     if probe["pool_scaling_efficiency_2_to_8"] >= 0.8:
         n_lo, n_hi = max(2, CPUS // 16), max(4, CPUS // 4)
     else:
