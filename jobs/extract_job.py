@@ -40,9 +40,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--salt-partitions", type=int, default=None)
     p.add_argument("--no-broadcast-media", action="store_true")
     p.add_argument("--two-level-regroup", action="store_true")
-    p.add_argument("--validate-payloads", action="store_true",
-                   help="magic-byte/size admission control before OCR; invalid media -> null text + lineage n_media_missing")
+    p.add_argument("--no-validate-payloads", action="store_true",
+                   help="skip the magic-byte/size admission control (on by default; invalid media -> null text + quarantine sink + lineage n_media_missing)")
     args = p.parse_args(argv)
+    args.validate_payloads = not args.no_validate_payloads
 
     from ms_ocr_spark.plans.checkpoint import extraction_metrics, run_with_checkpoints
     from ms_ocr_spark.session import get_spark

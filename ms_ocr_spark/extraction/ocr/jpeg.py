@@ -1,0 +1,378 @@
+"""Minimal deterministic baseline JPEG codec (8-bit grayscale), stdlib+numpy.
+
+The reference accepts jpg FIRST in its upload allow-list
+(`/root/reference/env/local.env:25`) and decodes with PIL
+(`src/library/image_processor/main.py:58-63`).  This sandbox has no
+PIL/OpenCV, so JPEG media in the synthetic corpus are real baseline
+sequential JFIF bytes produced/consumed by this codec: standard JPEG
+(ITU T.81) markers, Annex-K luminance Huffman tables, 8x8 DCT blocks.
+
+Scope (documented, honest): single-component (grayscale) baseline
+sequential only — no progressive, no chroma, no restart intervals.  Any
+conforming grayscale baseline JPEG from another encoder decodes too (the
+decoder reads DQT/DHT tables from the stream, not from constants).
+
+Encoding defaults to a FLAT quantization table of all ones ("archival
+quality"): the only loss is integer rounding of DCT coefficients, which
+bounds the pixel round-trip error to a few gray levels — far inside the
+binarization margin of the OCR kernel, so golden truth text survives the
+lossy round trip by construction.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------- tables
+# zig-zag scan order: index i of the scan -> (row, col) in the 8x8 block
+_ZZ = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# ITU T.81 Annex K.3 typical luminance Huffman tables:
+# (bits[1..16] code counts, values) for DC and AC
+_DC_BITS = [0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+_FLAT_QUANT = np.ones(64, dtype=np.int64)
+
+# orthonormal 8-point DCT-II matrix (float64, deterministic)
+_C = np.zeros((8, 8))
+for _u in range(8):
+    for _x in range(8):
+        _a = np.sqrt(1.0 / 8.0) if _u == 0 else np.sqrt(2.0 / 8.0)
+        _C[_u, _x] = _a * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+
+
+def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman: value -> (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _build_decode(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """Canonical Huffman: (length, code) -> value."""
+    enc = _build_codes(bits, vals)
+    return {(ln, code): v for v, (code, ln) in enc.items()}
+
+
+_DC_ENC = _build_codes(_DC_BITS, _DC_VALS)
+_AC_ENC = _build_codes(_AC_BITS, _AC_VALS)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per T.81
+        return bytes(self.buf)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """JPEG magnitude coding: value -> (size, size-bit code)."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    code = v if v > 0 else v + (1 << size) - 1
+    return size, code
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
+def encode_gray_jpeg(
+    img: np.ndarray, quant: np.ndarray | None = None, dpi: float | None = None
+) -> bytes:
+    """uint8 HxW array -> baseline JFIF bytes (1 component, flat quant).
+
+    `dpi` lands in the JFIF APP0 density fields (units=1, dots/inch) —
+    the JPEG analog of PNG's pHYs side-value.
+    """
+    if img.dtype != np.uint8 or img.ndim != 2:
+        raise ValueError("encode_gray_jpeg expects a 2-D uint8 array")
+    h, w = img.shape
+    q = _FLAT_QUANT if quant is None else np.asarray(quant, dtype=np.int64).ravel()
+
+    # pad to 8x8 multiples by edge replication (standard practice)
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    padded = np.pad(img, ((0, ph - h), (0, pw - w)), mode="edge").astype(np.float64)
+
+    # all blocks at once: (n_blocks, 8, 8) -> DCT -> quantize -> zigzag
+    blocks = (
+        padded.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        - 128.0
+    )
+    coeffs = np.einsum("ux,bxy,vy->buv", _C, blocks, _C)
+    qmat = q[_ZZ.argsort()].reshape(8, 8)  # natural-order quant matrix
+    quantized = np.round(coeffs / qmat).astype(np.int64)
+    zz = quantized.reshape(-1, 64)[:, _ZZ]  # natural -> zigzag order
+
+    bw = _BitWriter()
+    prev_dc = 0
+    for blk in zz:
+        diff = int(blk[0]) - prev_dc
+        prev_dc = int(blk[0])
+        size, code = _magnitude(diff)
+        c, ln = _DC_ENC[size]
+        bw.write(c, ln)
+        if size:
+            bw.write(code, size)
+        run = 0
+        last_nz = int(np.nonzero(blk[1:])[0][-1]) + 1 if np.any(blk[1:]) else 0
+        for i in range(1, last_nz + 1):
+            v = int(blk[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = _AC_ENC[0xF0]  # ZRL
+                bw.write(c, ln)
+                run -= 16
+            size, code = _magnitude(v)
+            c, ln = _AC_ENC[(run << 4) | size]
+            bw.write(c, ln)
+            bw.write(code, size)
+            run = 0
+        if last_nz < 63:
+            c, ln = _AC_ENC[0x00]  # EOB
+            bw.write(c, ln)
+
+    density = (1, round(dpi), round(dpi)) if dpi else (0, 1, 1)
+    app0 = b"JFIF\x00\x01\x01" + struct.pack(">BHHBB", *density, 0, 0)
+    dqt = b"\x00" + bytes(int(v) for v in q)
+    sof0 = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    dht = (
+        b"\x00" + bytes(_DC_BITS[1:]) + bytes(_DC_VALS)
+        + b"\x10" + bytes(_AC_BITS[1:]) + bytes(_AC_VALS)
+    )
+    sos = b"\x01" + bytes([1, 0x00]) + b"\x00\x3f\x00"
+    return (
+        b"\xff\xd8"
+        + _seg(0xFFE0, app0)
+        + _seg(0xFFDB, dqt)
+        + _seg(0xFFC0, sof0)
+        + _seg(0xFFC4, dht)
+        + _seg(0xFFDA, sos)
+        + bw.flush()
+        + b"\xff\xd9"
+    )
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 unstuffing."""
+
+    def __init__(self, data: bytes) -> None:
+        out = bytearray()
+        i = 0
+        n = len(data)
+        while i < n:
+            b = data[i]
+            out.append(b)
+            if b == 0xFF:
+                if i + 1 < n and data[i + 1] == 0x00:
+                    i += 1  # stuffed zero
+                else:
+                    out.pop()  # marker reached: stop
+                    break
+            i += 1
+        self.bits = np.unpackbits(np.frombuffer(bytes(out), dtype=np.uint8))
+        self.pos = 0
+
+    def read_bit(self) -> int:
+        b = int(self.bits[self.pos])
+        self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | int(self.bits[self.pos])
+            self.pos += 1
+        return v
+
+
+def _extend(code: int, size: int) -> int:
+    """Inverse magnitude coding."""
+    if size == 0:
+        return 0
+    if code < (1 << (size - 1)):
+        return code - (1 << size) + 1
+    return code
+
+
+def _read_huff(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        v = table.get((length, code))
+        if v is not None:
+            return v
+    raise ValueError("bad huffman code")
+
+
+def decode_gray_jpeg(data: bytes) -> np.ndarray:
+    """Baseline grayscale JFIF bytes -> uint8 HxW array.
+
+    Tables (DQT/DHT) are read from the stream, so output from any
+    conforming single-component baseline encoder decodes — not just
+    `encode_gray_jpeg`'s.
+    """
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    h = w = None
+    comp_q = 0
+    dc_id = ac_id = 0
+    scan_start = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad marker alignment")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seg_len,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        payload = data[pos + 4 : pos + 2 + seg_len]
+        pos += 2 + seg_len
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                quant[tq] = np.frombuffer(
+                    payload[p + 1 : p + 65], dtype=np.uint8
+                ).astype(np.int64)
+                p += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            _prec, h, w, n_comp = struct.unpack(">BHHB", payload[:6])
+            if n_comp != 1:
+                raise ValueError("only single-component (grayscale) JPEG supported")
+            comp_q = payload[8]
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise ValueError("non-baseline JPEG unsupported")
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0xF
+                bits = [0] + list(payload[p + 1 : p + 17])
+                n_vals = sum(bits)
+                vals = list(payload[p + 17 : p + 17 + n_vals])
+                huff[(tc, th)] = _build_decode(bits, vals)
+                p += 17 + n_vals
+        elif marker == 0xDA:  # SOS
+            dc_id, ac_id = payload[2] >> 4, payload[2] & 0xF
+            scan_start = pos
+            break
+    if h is None or scan_start is None:
+        raise ValueError("missing SOF/SOS")
+
+    br = _BitReader(data[scan_start:])
+    dc_tab, ac_tab = huff[(0, dc_id)], huff[(1, ac_id)]
+    q = quant[comp_q]
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    n_blocks = (ph // 8) * (pw // 8)
+    zz = np.zeros((n_blocks, 64), dtype=np.int64)
+    prev_dc = 0
+    for b in range(n_blocks):
+        size = _read_huff(br, dc_tab)
+        diff = _extend(br.read_bits(size), size)
+        prev_dc += diff
+        zz[b, 0] = prev_dc
+        k = 1
+        while k < 64:
+            rs = _read_huff(br, ac_tab)
+            run, size = rs >> 4, rs & 0xF
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += run
+            zz[b, k] = _extend(br.read_bits(size), size)
+            k += 1
+
+    dq = zz * q  # dequantize in zigzag order
+    natural = np.zeros_like(dq)
+    natural[:, _ZZ] = dq  # zigzag -> natural order
+    blocks = natural.reshape(-1, 8, 8).astype(np.float64)
+    pixels = np.einsum("xu,buv,yv->bxy", _C.T, blocks, _C.T) + 128.0
+    out = (
+        pixels.reshape(ph // 8, pw // 8, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(ph, pw)
+    )
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)[:h, :w]
+
+
+def jfif_density(data: bytes) -> float | None:
+    """dpi from the JFIF APP0 density fields (units==1), else None."""
+    if data[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            return None
+        marker = data[pos + 1]
+        if marker in (0xD9, 0xDA):
+            return None
+        (seg_len,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        payload = data[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xE0 and payload[:5] == b"JFIF\x00":
+            units, xd, _yd = struct.unpack(">BHH", payload[7:12])
+            return float(xd) if units == 1 else None
+        pos += 2 + seg_len
+    return None

@@ -67,12 +67,20 @@ def ocr_media_spans(payload: pd.Series) -> pd.Series:
     kernel is stateless/pure so a Series->Series UDF suffices (no
     per-partition model init to amortize — cf. SURVEY.md §2.10).
     """
-    from ms_ocr_spark.extraction.ocr import decode_gray, decode_image
+    from ms_ocr_spark.extraction.ocr import decode_image, decode_media
 
     def _one(buf) -> str | None:
         if buf is None:
             return None
-        return decode_image(decode_gray(bytes(buf)))
+        try:
+            return decode_image(decode_media(bytes(buf)))
+        except Exception:
+            # One corrupt/unsupported payload in 10^12 docs must not kill
+            # the bucket: undecodable bytes -> null text (the quarantine
+            # signal `quarantine_invalid_media` surfaces), never a task
+            # failure.  Mirrors the reference rejecting bad uploads at
+            # admission (`/root/reference/src/controller/Upload.ts:22-32`).
+            return None
 
     return payload.map(_one)
 
@@ -144,7 +152,7 @@ def extract_documents(
     salt_partitions: int | None = None,
     two_level_regroup: bool = False,
     keep_empty_docs: bool = False,
-    validate_payloads: bool = False,
+    validate_payloads: bool = True,
 ) -> DataFrame:
     """Run the full extraction; returns (doc_id, spans) matching golden_spans.
 

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ms_ocr_spark.functions.hashing import MERSENNE31, md5_long, perm_params
+from ms_ocr_spark.plans.cache import track
 
 TOKEN_PATTERN = "\\s+"
 
@@ -108,6 +109,17 @@ def minhash_signatures(
     return arr.select(id_col, F.posexplode("sig").alias("salt", "minhash"))
 
 
+def _intersperse(cols: list, sep):
+    """[c0, c1, c2], sep -> [c0, sep, c1, sep, c2] (for NULL-propagating
+    concat that renders identically to concat_ws on non-NULL input)."""
+    out: list = []
+    for i, c in enumerate(cols):
+        if i:
+            out.append(sep)
+        out.append(c)
+    return out
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -121,6 +133,15 @@ def lsh_candidate_pairs(
     (id, salt, minhash) row form (re-grouped first).  Band key =
     comma-joined minhashes in salt order (deterministic; the oracle builds
     the identical string).
+
+    `num_hashes` must match the signature length: a mismatch would either
+    read past the array (NULL elements -> every doc shares an empty band
+    key -> near-cross-join) or silently ignore trailing bands (recall
+    loss).  Signatures of the wrong length are therefore rejected up
+    front, and the band key uses `concat` (NULL-propagating) rather than
+    `concat_ws` (NULL-dropping) so any residual NULL minhash nulls the
+    whole band key instead of colliding — NULL band keys never match in
+    the equi-join.
     """
     if "sig" not in signatures.columns:
         signatures = signatures.groupBy(id_col).agg(
@@ -129,26 +150,30 @@ def lsh_candidate_pairs(
                 lambda s: s["minhash"],
             ).alias("sig")
         )
+    # guard: drop (loudly countable) any signature whose length disagrees
+    # with num_hashes — cheap filter, prevents the silent cross-join class
+    signatures = signatures.filter(F.size("sig") == num_hashes)
     n_bands = num_hashes // rows_per_band
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
-            F.concat_ws(
-                ",",
-                *[
-                    F.col("sig")[i].cast("string")
-                    for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-                ],
+            F.concat(
+                *_intersperse(
+                    [
+                        F.col("sig")[i].cast("string")
+                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                    F.lit(","),
+                )
             ).alias("band_key"),
         )
         for b in range(n_bands)
     ]
     # persist the (tiny: n_docs x n_bands) key relation: the self-join
     # references it twice, and without the cache Spark recomputes the
-    # whole shingle-explode + minhash-agg subtree once PER SIDE
-    keys = signatures.select(
-        id_col, F.inline(F.array(*band_structs))
-    ).persist()
+    # whole shingle-explode + minhash-agg subtree once PER SIDE.  Tracked
+    # (plans/cache.py) so long-lived sessions can release it between runs.
+    keys = track(signatures.select(id_col, F.inline(F.array(*band_structs))))
     a = keys.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = keys.select(F.col(id_col).alias("id_b"), "band", "band_key")
     return (

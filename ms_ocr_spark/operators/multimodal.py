@@ -99,18 +99,30 @@ def image_metadata(media: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Decode payloads (real PNG decode) -> per-image metadata rows."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ms_ocr_spark.extraction.ocr.jpeg import decode_gray_jpeg, jfif_density
         from ms_ocr_spark.extraction.ocr.png import decode_gray, side_values
 
         for pdf in batches:
             rows = []
             for ref, buf in zip(pdf["media_ref"], pdf[payload_col]):
                 fmt = sniff_format(bytes(buf) if buf is not None else None)
-                if fmt == "png":
-                    img = decode_gray(bytes(buf))
-                    sv = side_values(bytes(buf))
+                if fmt in ("png", "jpeg"):
+                    if fmt == "png":
+                        img = decode_gray(bytes(buf))
+                        sv = side_values(bytes(buf))
+                    else:
+                        img = decode_gray_jpeg(bytes(buf))
+                        # JPEG side-values: JFIF density only (no
+                        # iCCP/eXIf analog in this codec's scope)
+                        sv = {
+                            "dpi": jfif_density(bytes(buf)),
+                            "icc_name": None,
+                            "orientation": None,
+                        }
                     # rounded to 6dp with Python round(): bit-identical to
                     # the datagen golden (same expressions on the same
-                    # losslessly round-tripped pixels)
+                    # round-tripped pixels — datagen measures the DECODED
+                    # image for lossy formats)
                     rows.append(
                         (
                             ref,

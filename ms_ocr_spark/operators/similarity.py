@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ms_ocr_spark.functions.hashing import plane_weights
+from ms_ocr_spark.plans.cache import track
 
 from .windows import top_k_per_group
 
@@ -148,30 +149,46 @@ def lsh_topk_multitable(
 
     ONE scan of each side: all table buckets are computed as an array and
     posexploded, so the join key is (table, bucket) — no per-table rescan.
-    Duplicate (query, neighbor) candidates from multiple tables are
-    deduped before scoring.
+
+    Shuffle width: the exploded relations carry ONLY (id, tbl, bucket) —
+    never the embedding vectors.  Carrying both 64-float vectors through
+    the n_tables-times-exploded join would multiply candidate shuffle rows
+    to ~1 KB each and shuffle them AGAIN through the dedup; instead the
+    candidate (query_id, neighbor_id) id pairs are deduped first and the
+    vectors re-attached by two id equi-joins for scoring — the same shape
+    the DuckDB oracle uses.
     """
-    def buckets(vec: Column) -> Column:
-        return F.posexplode(
-            F.array(*[lsh_bucket(vec, n_planes, table=t) for t in range(n_tables)])
+    def bucket_keys(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.posexplode(
+                F.array(
+                    *[
+                        lsh_bucket(F.col(vec_col), n_planes, table=t)
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("tbl", "bucket"),
         )
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        buckets(F.col(vec_col)).alias("tbl", "bucket"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        buckets(F.col(vec_col)).alias("tbl", "bucket"),
-    )
     cand = (
-        q.join(c, ["tbl", "bucket"])
+        bucket_keys(queries, "query_id")
+        .join(bucket_keys(corpus, "neighbor_id"), ["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+    q_vecs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c_vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        cand.join(q_vecs, "query_id")
+        .join(c_vecs, "neighbor_id")
+        .withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+    )
     return top_k_per_group(
         scored.select("query_id", "neighbor_id", "sim"),
         ["query_id"],
@@ -192,9 +209,11 @@ def embedding_neardup_pairs(
     tradeoff, same bucketing as the oracle)."""
     # persist: the self-join references the bucketed relation twice and the
     # 8-plane fold per row is the expensive part — compute it once
-    c = corpus.select(
-        id_col, vec_col, lsh_bucket(F.col(vec_col), n_planes).alias("bucket")
-    ).persist()
+    c = track(
+        corpus.select(
+            id_col, vec_col, lsh_bucket(F.col(vec_col), n_planes).alias("bucket")
+        )
+    )
     a = c.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "bucket"
     )

@@ -86,9 +86,15 @@ def completed_buckets(
 
 
 def _commit_lineage(spark: SparkSession, out_dir: str, job_id: str, row: dict) -> None:
-    """Atomic marker commit: local one-row parquet -> copy next to the
-    data via the Hadoop FS -> rename into place (marker existence IS the
-    commit flag, so it must appear whole or not at all)."""
+    """Marker commit: local one-row parquet -> copy next to the data via
+    the Hadoop FS -> rename into place (marker existence IS the commit
+    flag, so it must appear whole or not at all).
+
+    The rename is atomic on HDFS/local; on S3A it is copy+delete (not
+    atomic) — marker semantics tolerate that (a torn marker is absent or
+    whole-file, and resume re-writes the bucket idempotently), but the
+    rename's boolean RETURN must still be checked: Hadoop FileSystem
+    reports failure by returning false, not by throwing."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -103,7 +109,10 @@ def _commit_lineage(spark: SparkSession, out_dir: str, job_id: str, row: dict) -
         fs.copyFromLocalFile(False, True, jvm.org.apache.hadoop.fs.Path(local), tmp_p)
         if fs.exists(final_p):
             fs.delete(final_p, False)
-        fs.rename(tmp_p, final_p)
+        if not fs.rename(tmp_p, final_p):
+            raise IOError(
+                f"lineage marker rename failed (bucket NOT committed): {final}"
+            )
 
 
 def pending_extraction(

@@ -34,6 +34,7 @@ from ms_ocr_spark.operators.boxes import (
     table_grid,
 )
 from ms_ocr_spark.operators.windows import gap_cluster, merge_intervals, top_k_per_group
+from ms_ocr_spark.plans.cache import track
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 _REGISTRY: list[tuple[str, QueryFn, str | None]] = []
@@ -659,7 +660,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-tokenizing the full corpus twice.
     """
     docs = _t(spark, sf_dir, "documents")
-    sh = dedup.shingles(docs).persist()
+    sh = track(dedup.shingles(docs))
     pairs = dedup.lsh_candidate_pairs(dedup.minhash_signature_arrays(sh))
     out = dedup.jaccard_verify(pairs, docs, threshold=0.5, shingles_df=sh)
     return out.select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
@@ -695,7 +696,7 @@ def dedup_keepers_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     losers = non-keeper exact dups ∪ the larger id of each verified
     near-dup pair.  Everything shares ONE persisted shingle relation."""
     docs = _t(spark, sf_dir, "documents")
-    sh = dedup.shingles(docs).persist()
+    sh = track(dedup.shingles(docs))
     pairs = dedup.lsh_candidate_pairs(dedup.minhash_signature_arrays(sh))
     near = dedup.jaccard_verify(pairs, docs, threshold=0.5, shingles_df=sh)
     near_losers = near.select(F.col("id_b").alias("doc_id")).distinct()
@@ -1122,6 +1123,47 @@ def _extract_spans_warped_oracle() -> str:
     return _golden_spans_oracle(_corpus_paths_warped()["golden_spans"])
 
 
+def _corpus_paths_jpeg(n_docs: int = 40) -> dict[str, str]:
+    """Mixed PNG+JPEG media tier (the reference allows jpg FIRST,
+    `env/local.env:25`): ~60% of payloads are baseline JFIF bytes from
+    the stdlib jpeg codec (`extraction/ocr/jpeg.py`); flat-quant encoding
+    bounds the lossy round trip to ±1 gray level, inside the kernel's
+    binarization margin."""
+    import os
+
+    from ms_ocr_spark.sources.datagen import write_corpus
+
+    cache = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), ".cache", f"corpus_jpeg_{n_docs}"
+    )
+    return write_corpus(cache, n_docs=n_docs, seed=45, jpeg_pct=0.6)
+
+
+def extract_spans_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-codec extraction tier: `decode_media` dispatches per payload
+    on magic bytes (PNG vs baseline JPEG) inside the same Arrow UDF."""
+    from ms_ocr_spark.extraction.pipeline import extract_documents
+
+    paths = _corpus_paths_jpeg()
+    docs = spark.read.parquet(paths["documents"])
+    media = spark.read.parquet(paths["media_store"])
+    out = extract_documents(docs, media)
+    return out.select("doc_id", F.posexplode("spans").alias("pos", "span")).select(
+        "doc_id",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
+_REGISTRY.append(("extract_spans_jpeg", extract_spans_jpeg, None))
+
+
+def _extract_spans_jpeg_oracle() -> str:
+    return _golden_spans_oracle(_corpus_paths_jpeg()["golden_spans"])
+
+
 def media_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata extraction over binary payloads.  Oracle = the
     generator's golden_media_meta parquet (computed from the raw pixels
@@ -1225,7 +1267,7 @@ def _table_grid_df(spark: SparkSession) -> DataFrame:
     # persist: the cells and html queries build the identical plan, and
     # Spark's cache manager dedupes by plan — the OCR pass runs once for
     # both instead of once per query
-    return detect_merges(grid_from_boxes(ocr_boxes(media))).persist()
+    return track(detect_merges(grid_from_boxes(ocr_boxes(media))))
 
 
 def table_cells_from_media(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1270,6 +1312,7 @@ _LAZY_ORACLES: dict[str, Callable[[], str]] = {
     "extract_spans": _extract_spans_oracle,
     "extract_spans_vertical": _extract_spans_vertical_oracle,
     "extract_spans_warped": _extract_spans_warped_oracle,
+    "extract_spans_jpeg": _extract_spans_jpeg_oracle,
     "media_image_metadata": _media_meta_oracle,
     "dedup_boxes_keep_first": _keepfirst_golden_oracle,
     "table_cells_from_media": _table_cells_oracle,

@@ -87,21 +87,30 @@ def expire_old(spark: SparkSession, target: str, older_than_ts: str) -> list[str
     plain filesystem layout, delete checkpoint-output entries (data
     partitions + lineage markers) whose modification time predates the
     cutoff, through the path's Hadoop FileSystem.  Returns deleted paths.
+
+    Timezone contract: `older_than_ts` is interpreted as UTC when the
+    string carries no offset; an explicit offset (e.g. `+02:00` / `Z`) is
+    honored.  The Iceberg branch normalizes to a UTC literal so both
+    branches sweep the same window regardless of the session timezone
+    (this engine pins spark.sql.session.timeZone=UTC, but the contract
+    must not depend on it).
     """
-    if _iceberg_available(spark, target):
-        spark.sql(
-            f"CALL {target.split('.', 1)[0]}.system.expire_snapshots("
-            f"table => '{target}', older_than => TIMESTAMP '{older_than_ts}')"
-        )
-        return []
     import datetime
 
-    cutoff_ms = int(
-        datetime.datetime.fromisoformat(older_than_ts)
-        .replace(tzinfo=datetime.timezone.utc)
-        .timestamp()
-        * 1000
-    )
+    parsed = datetime.datetime.fromisoformat(older_than_ts)
+    if parsed.tzinfo is None:  # naive string == UTC; explicit offsets kept
+        parsed = parsed.replace(tzinfo=datetime.timezone.utc)
+    cutoff_utc = parsed.astimezone(datetime.timezone.utc)
+    if _iceberg_available(spark, target):
+        # offset-carrying literal: correct under ANY session timezone
+        utc_literal = cutoff_utc.strftime("%Y-%m-%d %H:%M:%S+00:00")
+        spark.sql(
+            f"CALL {target.split('.', 1)[0]}.system.expire_snapshots("
+            f"table => '{target}', "
+            f"older_than => TIMESTAMP '{utc_literal}')"
+        )
+        return []
+    cutoff_ms = int(cutoff_utc.timestamp() * 1000)
     jvm = spark._jvm
     deleted: list[str] = []
     for sub in ("data", "_lineage"):

@@ -26,6 +26,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ms_ocr_spark.extraction.ocr.glyphs import ALPHABET, render_placed, render_text
+from ms_ocr_spark.extraction.ocr.jpeg import decode_gray_jpeg, encode_gray_jpeg
 from ms_ocr_spark.extraction.ocr.png import encode_gray
 
 SPAN_FIELDS = [
@@ -245,7 +246,17 @@ def _spans_for_doc(seed: int, doc_i: int, span_mult: int = 1) -> list[dict]:
 def _gen_chunk(args: tuple) -> tuple[list, list, list]:
     """Generate one contiguous doc range (deterministic per doc index, so
     chunking never changes the corpus)."""
-    lo, hi, n_docs, seed, skew_doc_pct, skew_mult, vertical_pct, shear_pct = args
+    (
+        lo,
+        hi,
+        n_docs,
+        seed,
+        skew_doc_pct,
+        skew_mult,
+        vertical_pct,
+        shear_pct,
+        jpeg_pct,
+    ) = args
     doc_rows, media_rows, golden_rows, meta_rows = [], [], [], []
     n_skewed = int(n_docs * skew_doc_pct)
     for i in range(lo, hi):
@@ -283,19 +294,41 @@ def _gen_chunk(args: tuple) -> tuple[list, list, list]:
                     truth = make_media_truth(seed, i, off)
                     img = render_media_image(seed, ref, truth)
                 side = media_side_values(seed, ref)
-                media_rows.append(
-                    {
-                        "media_ref": ref,
-                        "payload": encode_gray(
-                            img,
-                            dpi=side["dpi"],
-                            icc=side["icc"],
-                            exif_orientation=side["orientation"],
-                        ),
-                        "truth_text": truth,
-                    }
+                is_jpeg = (
+                    jpeg_pct > 0
+                    and _h(seed, "isjpeg", i, off) % 1000 < jpeg_pct * 1000
                 )
-                meta_rows.append(image_meta_row(ref, img, side))
+                if is_jpeg:
+                    # lossy tier: golden metadata measures the DECODED
+                    # pixels (the engine can only see those); flat-quant
+                    # encoding keeps the round trip within ±1 gray level
+                    # so truth text still OCRs exactly
+                    payload = encode_gray_jpeg(img, dpi=side["dpi"])
+                    dec = decode_gray_jpeg(payload)
+                    meta_rows.append(
+                        {
+                            "media_ref": ref,
+                            "width": int(dec.shape[1]),
+                            "height": int(dec.shape[0]),
+                            "ink_ratio": round(float((dec < 128).mean()), 6),
+                            "mean_intensity": round(float(dec.mean()), 6),
+                            "format": "jpeg",
+                            "dpi": float(round(side["dpi"])) if side["dpi"] else None,
+                            "icc_name": None,
+                            "orientation": None,
+                        }
+                    )
+                else:
+                    payload = encode_gray(
+                        img,
+                        dpi=side["dpi"],
+                        icc=side["icc"],
+                        exif_orientation=side["orientation"],
+                    )
+                    meta_rows.append(image_meta_row(ref, img, side))
+                media_rows.append(
+                    {"media_ref": ref, "payload": payload, "truth_text": truth}
+                )
                 in_spans.append(
                     {"kind": "media", "text": None, "media_ref": ref, "offset": off}
                 )
@@ -314,6 +347,7 @@ def gen_corpus(
     skew_mult: int = 50,
     vertical_pct: float = 0.0,
     shear_pct: float = 0.0,
+    jpeg_pct: float = 0.0,
     processes: int | None = None,
 ) -> tuple[pa.Table, pa.Table, pa.Table, pa.Table]:
     """Build (documents, media_store, golden_spans) arrow tables.
@@ -338,6 +372,7 @@ def gen_corpus(
                 skew_mult,
                 vertical_pct,
                 shear_pct,
+                jpeg_pct,
             )
         )
     if processes > 1:

@@ -124,6 +124,29 @@ def test_lsh_pairs_compute_signatures_once(spark):
     assert plan.count("InMemoryTableScan") >= 2
 
 
+def test_multitable_ann_explodes_ids_only(spark):
+    """The 3x-posexploded (tbl, bucket) join must carry ONLY id columns —
+    never the 64-float vectors (they are re-attached by id equi-joins
+    after the candidate dedup).  Carrying vectors through the explode was
+    the round-2 shuffle-width hotspot."""
+    from ms_ocr_spark.queries import ann_lsh_multitable_topk
+
+    plan = _plan(ann_lsh_multitable_topk(spark, "/root/testdata/sf0.001"))
+    gen_lines = [l for l in plan.splitlines() if "Generate posexplode" in l]
+    assert gen_lines, "expected posexplode Generate nodes"
+    for line in gen_lines:
+        # requiredChildOutput must not include the vector aliases; the
+        # generator expression itself references `embedding` (it computes
+        # the buckets) but the carried columns must be ids only
+        assert "q_vec" not in line and "c_vec" not in line, line
+    dedup_lines = [
+        l for l in plan.splitlines() if "HashAggregate(keys=[query_id" in l
+    ]
+    assert dedup_lines, "expected id-pair dedup aggregate"
+    for line in dedup_lines:
+        assert "vec" not in line, line
+
+
 def test_bucketed_join_has_no_shuffle(spark, corpus_dir):
     """Two tables bucketed on the join key join with ZERO exchanges —
     the co-location recipe for the recurring media_ref join at 100 TB."""
