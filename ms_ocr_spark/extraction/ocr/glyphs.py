@@ -54,6 +54,49 @@ _FONT: dict[str, tuple[str, ...]] = {
     "7": ("XXXXX", "....X", "...X.", "..X..", ".X...", ".X...", ".X..."),
     "8": (".XXX.", "X...X", "X...X", ".XXX.", "X...X", "X...X", ".XXX."),
     "9": (".XXX.", "X...X", "X...X", ".XXXX", "....X", "....X", ".XXX."),
+    # lowercase (round-3 charset widening — reference EN-36+ charsets,
+    # `/root/reference/src/library/engine_realtime/charset_crnn.py:1`).
+    # x-height letters occupy rows 2-6 (trimmed height 5 < 6 => "short"
+    # size class); ascender letters reach row 0 ("tall" class) — the
+    # decoder gates template matching on the class inferred from each
+    # glyph's height relative to its line, which is what disambiguates
+    # bbox-normalized pairs like o/O, s/S, z/Z.
+    "a": (".....", ".....", ".XXX.", "....X", ".XXXX", "X...X", ".XXXX"),
+    "b": ("X....", "X....", "X.XX.", "XX..X", "X...X", "X...X", "XXXX."),
+    "c": (".....", ".....", ".XXXX", "X....", "X....", "X....", ".XXXX"),
+    "d": ("....X", "....X", ".XX.X", "X..XX", "X...X", "X...X", ".XXXX"),
+    "e": (".....", ".....", ".XXX.", "X...X", "XXXXX", "X....", ".XXX."),
+    "f": ("..XX.", ".X..X", ".X...", "XXXX.", ".X...", ".X...", ".X..."),
+    "g": (".....", ".....", ".XXX.", "X...X", ".XXXX", "....X", ".XXX."),
+    "h": ("XX...", "X....", "X.XX.", "XX..X", "X...X", "X...X", "X...X"),
+    "i": ("..X..", ".....", ".XX..", "..X..", "..X..", "..X..", ".XXXX"),
+    "j": ("...X.", ".....", "..XX.", "...X.", "...X.", "X..X.", ".XX.."),
+    "k": ("X....", "X....", "X..X.", "X.X..", "XX...", "X.X..", "X..X."),
+    "l": (".XX..", "..X..", "..X..", "..X..", "..X..", "..X..", "..XXX"),
+    "m": (".....", ".....", "XX.X.", "X.X.X", "X.X.X", "X.X.X", "X.X.X"),
+    "n": (".....", ".....", "X.XX.", "XX..X", "X...X", "X...X", "X...X"),
+    "o": (".....", ".....", ".XXX.", "X...X", "X...X", "X...X", ".XXX."),
+    "p": (".....", ".....", "XXXX.", "X...X", "XXXX.", "X....", "X...."),
+    "q": (".....", ".....", ".XXXX", "X...X", ".XXXX", "....X", "....X"),
+    "r": (".....", ".....", "X.XX.", "XX..X", "X....", "X....", "X...."),
+    "s": (".....", ".....", ".XXXX", "X....", ".XXX.", "....X", "XXXX."),
+    "t": (".X...", ".X...", "XXXX.", ".X...", ".X...", ".X..X", "..XX."),
+    "u": (".....", ".....", "X...X", "X...X", "X...X", "X..XX", ".XX.X"),
+    "v": (".....", ".....", "X...X", "X...X", "X...X", ".X.X.", "..X.."),
+    "w": (".....", ".....", "X...X", "X...X", "X.X.X", "X.X.X", ".X.X."),
+    "x": (".....", ".....", "X...X", ".X.X.", "..X..", ".X.X.", "X...X"),
+    "y": (".....", ".....", "X...X", "X...X", ".XXXX", "....X", ".XXX."),
+    "z": (".....", ".....", "XXXXX", "...X.", "..X..", ".X...", "XXXXX"),
+    # basic punctuation (shape- or aspect-distinct after normalization;
+    # the aspect gate in the decoder separates e.g. '.' from '-')
+    ".": (".....", ".....", ".....", ".....", ".....", ".XXX.", ".XXX."),
+    ",": (".....", ".....", ".....", ".....", "..XX.", "..XX.", ".XX.."),
+    "!": (".XX..", ".XX..", ".XX..", ".XX..", ".XX..", ".....", ".XX.."),
+    "?": (".XXX.", "X...X", "...X.", "..X..", "..X..", ".....", "..X.."),
+    "-": (".....", ".....", ".....", "XXXXX", ".....", ".....", "....."),
+    "'": (".XXX.", "..X..", "..X..", ".....", ".....", ".....", "....."),
+    ":": (".....", ".....", ".XX..", ".XX..", ".....", ".XX..", ".XX.."),
+    ";": (".....", ".....", "..XX.", "..XX.", ".....", "..XX.", ".XX.."),
 }
 # fmt: on
 

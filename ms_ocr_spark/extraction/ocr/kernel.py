@@ -24,7 +24,17 @@ from __future__ import annotations
 
 import numpy as np
 
-from .glyphs import ADVANCE, ALPHABET, BG, GLYPH_H, GLYPH_W, SCALE, SPACE_EXTRA, glyph_template
+from .glyphs import (
+    ADVANCE,
+    ALPHABET,
+    BG,
+    GLYPH_H,
+    GLYPH_W,
+    SCALE,
+    SPACE_EXTRA,
+    glyph_bitmap,
+    glyph_template,
+)
 
 # Candidate skew grid — matches the generator's rotation grid (datagen).
 SKEW_GRID = np.arange(-3.0, 3.01, 0.5)
@@ -394,15 +404,27 @@ def _resize_mask_nn(mask: np.ndarray, h: int, w: int) -> np.ndarray:
 _POPCNT = np.array([bin(i).count("1") for i in range(256)], dtype=np.int32)
 
 
-def _build_template_stack() -> tuple[np.ndarray, list[str]]:
+def _build_template_stack() -> tuple[np.ndarray, list[str], np.ndarray, np.ndarray]:
     """Stack of glyph templates at residual-skew variants (-2..+2 deg).
 
     Deskew on short single-line text can be off by ~1 deg (the projection
     profile ties); matching against lightly rotated templates absorbs it.
+
+    Alongside the bitmaps the stack records, per variant:
+      * tall flag — source bitmap's trimmed height >= 6 of 7 font rows
+        (caps, digits, ascender lowercase).  Bbox normalization erases
+        absolute size, so scale-ambiguous pairs (o/O, s/S, z/Z, c/C …)
+        are separated by matching only templates of the size class the
+        LINE CONTEXT assigns to the crop (x-height glyphs are ~5/7 the
+        height of the line's tallest glyph).
+      * aspect (trimmed h/w) — separates shape-degenerate punctuation
+        ('.' vs '-' both normalize to solid blocks) via an aspect gate.
     """
     th, tw = GLYPH_H * SCALE, GLYPH_W * SCALE
-    stack, chars = [], []
+    stack, chars, tall, aspect = [], [], [], []
     for ch in ALPHABET:
+        bm_rows = np.nonzero(glyph_bitmap(ch).any(axis=1))[0]
+        is_tall = (bm_rows.max() - bm_rows.min() + 1) >= 6
         tpl_img = glyph_template(ch)
         for deg in (-2.0, -1.0, 0.0, 1.0, 2.0):
             rot = rotate_nn(tpl_img, deg) if deg else tpl_img
@@ -411,13 +433,22 @@ def _build_template_stack() -> tuple[np.ndarray, list[str]]:
             m = m[ys.min() : ys.max() + 1, xs.min() : xs.max() + 1]
             stack.append(_resize_mask_nn(m, th, tw))
             chars.append(ch)
-    return np.stack(stack), chars
+            tall.append(is_tall)
+            aspect.append(m.shape[0] / m.shape[1])
+    return (
+        np.stack(stack),
+        chars,
+        np.array(tall, dtype=bool),
+        np.array(aspect, dtype=np.float64),
+    )
 
 
-_TPL_STACK, _TPL_CHARS = _build_template_stack()
+_TPL_STACK, _TPL_CHARS, _TPL_TALL, _TPL_ASPECT = _build_template_stack()
 # bit-packed templates: XOR + popcount-LUT moves 8x fewer bytes per compare
 # than bool-array != (the kernel is bandwidth-bound at high core counts)
 _TPL_PACKED = np.packbits(_TPL_STACK.reshape(len(_TPL_STACK), -1), axis=1)
+_TPL_LOG_ASPECT = np.log(_TPL_ASPECT)
+_ASPECT_GATE = np.log(1.6)  # crop/template aspect must agree within 1.6x
 
 
 # Memo for _decode_glyph: identical crops repeat heavily within a batch
@@ -428,20 +459,38 @@ _GLYPH_CACHE: dict[tuple, tuple[str, int]] = {}
 _GLYPH_CACHE_MAX = 200_000
 
 
-def _decode_glyph(crop: np.ndarray) -> tuple[str, int]:
+def _decode_glyph(crop: np.ndarray, cls: str | None = None) -> tuple[str, int]:
     """Greedy nearest-template decode (reference's argmax-per-step analog,
     `recognizer_crnn.py:42-59`); returns (char, match distance).
 
     The resample round trip jitters component boxes by ~1 px, so the crop
-    and four 1-px-trimmed variants are all scored against the full
+    and four 1-px-trimmed variants are all scored against the
     (glyph x residual-skew) template stack; global min wins.  One
     vectorized comparison per variant.  The distance doubles as a decode
     confidence: the shear-retry stage re-decodes only when it is poor.
+
+    `cls` ("tall" | "short" | None) gates candidates to one size class
+    (see `_build_template_stack`); within the class an aspect gate drops
+    templates whose trimmed h/w disagrees with the crop's by > 1.6x.
+    Both gates fall back to wider sets rather than failing, so an
+    out-of-model crop still decodes to its nearest glyph.
     """
-    key = (crop.shape, crop.tobytes())
+    key = (crop.shape, cls, crop.tobytes())
     cached = _GLYPH_CACHE.get(key)
     if cached is not None:
         return cached
+    cand = np.ones(len(_TPL_CHARS), dtype=bool)
+    if cls is not None:
+        cand = _TPL_TALL if cls == "tall" else ~_TPL_TALL
+    aspect_ok = (
+        np.abs(np.log(crop.shape[0] / crop.shape[1]) - _TPL_LOG_ASPECT)
+        <= _ASPECT_GATE
+    )
+    gated = cand & aspect_ok
+    if not gated.any():
+        gated = cand if cand.any() else np.ones(len(_TPL_CHARS), dtype=bool)
+    idx = np.nonzero(gated)[0]
+    packed_tpl = _TPL_PACKED[idx]
     th, tw = GLYPH_H * SCALE, GLYPH_W * SCALE
     variants = [crop]
     if crop.shape[0] > 2:
@@ -452,13 +501,14 @@ def _decode_glyph(crop: np.ndarray) -> tuple[str, int]:
     for v in variants:
         resized = _resize_mask_nn(v, th, tw)
         packed = np.packbits(resized.reshape(-1))
-        dists = _POPCNT[np.bitwise_xor(packed[None, :], _TPL_PACKED)].sum(axis=1)
+        dists = _POPCNT[np.bitwise_xor(packed[None, :], packed_tpl)].sum(axis=1)
         i = int(np.argmin(dists))
         if int(dists[i]) < best_d:
-            best_d, best_ch = int(dists[i]), _TPL_CHARS[i]
+            best_d, best_ch = int(dists[i]), _TPL_CHARS[idx[i]]
         if best_d <= 20:
-            # unambiguous: glyph pairs differ by >= 3 font px = 27 device
-            # px, so a <= 20 match can't be beaten by another char
+            # unambiguous: in-class glyph pairs differ by >= ~27 device px
+            # (asserted by test_glyph_margin), so a <= 20 match can't be
+            # beaten by another char
             break
     if len(_GLYPH_CACHE) >= _GLYPH_CACHE_MAX:
         _GLYPH_CACHE.clear()
@@ -467,25 +517,38 @@ def _decode_glyph(crop: np.ndarray) -> tuple[str, int]:
 
 
 def _layout_from_mask(
-    mask: np.ndarray,
+    mask: np.ndarray, mode: str | None = None
 ) -> tuple[list[list[tuple[tuple[int, int, int, int], str]]], int, int]:
     """Segment + decode one binary mask; returns (layout, total template
     distance, glyph count) — the distance is the decode-quality signal
-    driving the shear retry."""
+    driving the shear retry.
+
+    `mode` forces the layout direction: "vertical" | "horizontal" skip the
+    auto-detect (per-document language routing, reference `language`
+    request field `-|ja|ja_vert|en`, `/root/reference/src/controller/
+    Ocr.ts:37-39`; ja_vert selects Tesseract psm 5 at
+    `engine_tesseract/main.py:32-70`).  None = auto-detect, which reads
+    SQUARE glyph grids as horizontal (band counts tie) — exactly the case
+    routing exists for.
+    """
     comps = connected_components(mask)
     # drop specks the median filter let through (reference min-size predicate,
     # `detection_craft/main.py:76-77`)
     comps = [b for b in comps if (b[2] - b[0]) >= 2 and (b[3] - b[1]) >= 2]
     lines_out: list[list[tuple[tuple[int, int, int, int], str]]] = []
     total_d = n_glyphs = 0
-    if is_vertical(mask):
+    vertical = mode == "vertical" if mode is not None else is_vertical(mask)
+    if vertical:
         # vertical tier (reference ja_vert): one space-free word per
-        # column, columns in right-to-left reading order
+        # column, columns in right-to-left reading order.  The vertical
+        # charset is the tall class (uppercase + digits) — column layout
+        # has no line-height context to class x-height glyphs with, the
+        # same charset restriction the reference's ja_vert mode carries.
         for column in _group_columns(mask, comps):
             glyph_boxes = _merge_y_overlaps(column)
             chars = []
             for x1, y1, x2, y2 in glyph_boxes:
-                ch, d = _decode_glyph(mask[y1:y2, x1:x2])
+                ch, d = _decode_glyph(mask[y1:y2, x1:x2], "tall")
                 chars.append(ch)
                 total_d += d
                 n_glyphs += 1
@@ -497,9 +560,18 @@ def _layout_from_mask(
             )
             lines_out.append([(bbox, "".join(chars))])
         return lines_out, total_d, n_glyphs
-    space_gap = (ADVANCE - GLYPH_W + SPACE_EXTRA / 2.0) * SCALE  # between inner gap and word gap
+    # between inner gap and word gap; +2 px absorbs resample jitter on the
+    # wider inner gaps narrow punctuation glyphs leave (true word spaces
+    # are >= 18 px)
+    space_gap = (ADVANCE - GLYPH_W + SPACE_EXTRA / 2.0) * SCALE + 2
     for line in _group_lines(mask, comps):
         glyph_boxes = _merge_x_overlaps(line)
+        # size-class context: x-height lowercase is ~5/7 the height of the
+        # line's tallest glyph.  Sentence-cased corpora guarantee a tall
+        # anchor per line; an all-short line (no caps/digits/ascenders)
+        # classes everything tall — a documented limit shared with any
+        # baseline-free OCR.
+        ref_h = max(b[3] - b[1] for b in glyph_boxes)
         words: list[tuple[tuple[int, int, int, int], str]] = []
         chars: list[str] = []
         wbox: list[int] | None = None
@@ -508,7 +580,18 @@ def _layout_from_mask(
             if prev_x2 is not None and (x1 - prev_x2) > space_gap:
                 words.append((tuple(wbox), "".join(chars)))
                 chars, wbox = [], None
-            ch, d = _decode_glyph(mask[y1:y2, x1:x2])
+            cls = "short" if (y2 - y1) < 0.8 * ref_h else "tall"
+            ch, d = _decode_glyph(mask[y1:y2, x1:x2], cls)
+            if d > _CLASS_RETRY_DIST:
+                # height sat on the class boundary (residual rotation
+                # compresses the line's tall anchor): a misclassed glyph
+                # scores garbage in its class, its true class scores well
+                # — retry the opposite class, keep the better match
+                ch2, d2 = _decode_glyph(
+                    mask[y1:y2, x1:x2], "tall" if cls == "short" else "short"
+                )
+                if d2 < d:
+                    ch, d = ch2, d2
             chars.append(ch)
             total_d += d
             n_glyphs += 1
@@ -523,6 +606,11 @@ def _layout_from_mask(
     return lines_out, total_d, n_glyphs
 
 
+# Per-glyph distance above which the size-class assignment itself is
+# suspected wrong (clean in-class matches stay below ~45; cross-class
+# confusions like e-as-8 score 100+) — triggers one opposite-class retry.
+_CLASS_RETRY_DIST = 60
+
 # Mean template distance above which the primary decode is considered
 # garbled and shear candidates are tried (unsheared corpus maxes out ~42;
 # shear-garbled segmentations score 80+).  The retry keeps the primary
@@ -532,7 +620,9 @@ _SHEAR_RETRY_MEAN_DIST = 48.0
 _SHEAR_ACCEPT_MEAN_DIST = 25.0
 
 
-def decode_layout(img: np.ndarray) -> list[list[tuple[tuple[int, int, int, int], str]]]:
+def decode_layout(
+    img: np.ndarray, mode: str | None = None
+) -> list[list[tuple[tuple[int, int, int, int], str]]]:
     """Full kernel returning layout: lines of (word bbox, word text).
 
     Boxes are (x1, y1, x2, y2) exclusive-end in the DESKEWED image space;
@@ -555,7 +645,7 @@ def decode_layout(img: np.ndarray) -> list[list[tuple[tuple[int, int, int, int],
         # antialiasing keeps strokes intact through the round trip; the
         # higher threshold (160 vs 128) compensates double-blur stroke fade
         mask = binarize(rotate_bilinear(den, corr), 160)
-    layout, total_d, n = _layout_from_mask(mask)
+    layout, total_d, n = _layout_from_mask(mask, mode)
     if n == 0 or total_d / n <= _SHEAR_RETRY_MEAN_DIST:
         return layout
     best_layout, best_mean = layout, total_d / n
@@ -563,7 +653,7 @@ def decode_layout(img: np.ndarray) -> list[list[tuple[tuple[int, int, int, int],
         if lam == 0.0:
             continue
         m = np.array([[1.0, lam], [0.0, 1.0]]) @ affine_matrix(corr, 0.0)
-        lay2, d2, n2 = _layout_from_mask(binarize(warp_bilinear(den, m), 160))
+        lay2, d2, n2 = _layout_from_mask(binarize(warp_bilinear(den, m), 160), mode)
         if n2 and d2 / n2 < best_mean:
             best_layout, best_mean = lay2, d2 / n2
             if best_mean <= _SHEAR_ACCEPT_MEAN_DIST:
@@ -580,8 +670,18 @@ def decode_words(img: np.ndarray) -> list[tuple[int, int, int, int, str]]:
     ]
 
 
-def decode_image(img: np.ndarray) -> str:
-    """Full kernel: grayscale image -> recovered text (lines joined by \\n)."""
+# language -> forced kernel mode (reference request field `-|ja|ja_vert|en`,
+# `src/controller/Ocr.ts:37-39`); unknown/None -> auto-detect
+LANGUAGE_MODES = {"ja_vert": "vertical", "en": "horizontal", "ja": None, "-": None}
+
+
+def decode_image(img: np.ndarray, language: str | None = None) -> str:
+    """Full kernel: grayscale image -> recovered text (lines joined by \\n).
+
+    `language` routes the layout mode per the reference's request field
+    (`ja_vert` forces vertical/psm-5 reading; `en` forces horizontal;
+    `-`/`ja`/None auto-detect)."""
+    mode = LANGUAGE_MODES.get(language) if language else None
     return "\n".join(
-        " ".join(t for _, t in line) for line in decode_layout(img)
+        " ".join(t for _, t in line) for line in decode_layout(img, mode)
     )

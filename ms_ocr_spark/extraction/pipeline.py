@@ -59,21 +59,26 @@ def extract_text_spans(html: pd.Series) -> pd.Series:
 
 
 @F.pandas_udf(T.StringType())
-def ocr_media_spans(payload: pd.Series) -> pd.Series:
+def ocr_media_spans(payload: pd.Series, language: pd.Series) -> pd.Series:
     """OCR kernel (binarize/deskew/CC-segment/decode), Arrow-batched.
 
     Replaces the reference's per-request engine subprocess
     (`/root/reference/src/library/engine_tesseract/main.py:117-131`); the
     kernel is stateless/pure so a Series->Series UDF suffices (no
     per-partition model init to amortize — cf. SURVEY.md §2.10).
+
+    `language` routes the kernel layout mode per document (reference
+    request field `-|ja|ja_vert|en`, `src/controller/Ocr.ts:37-39`);
+    null/`-` auto-detects.  Values are rlike-validated JVM-side before
+    they reach this UDF (P13).
     """
     from ms_ocr_spark.extraction.ocr import decode_image, decode_media
 
-    def _one(buf) -> str | None:
+    def _one(buf, lang) -> str | None:
         if buf is None:
             return None
         try:
-            return decode_image(decode_media(bytes(buf)))
+            return decode_image(decode_media(bytes(buf)), lang)
         except Exception:
             # One corrupt/unsupported payload in 10^12 docs must not kill
             # the bucket: undecodable bytes -> null text (the quarantine
@@ -82,20 +87,39 @@ def ocr_media_spans(payload: pd.Series) -> pd.Series:
             # admission (`/root/reference/src/controller/Upload.ts:22-32`).
             return None
 
-    return payload.map(_one)
+    return pd.Series(
+        [_one(b, lg) for b, lg in zip(payload, language)], dtype=object
+    )
+
+
+LANGUAGE_PATTERN = "^(-|en|ja|ja_vert)$"  # P13 language-code validation
 
 
 def explode_spans(docs: DataFrame) -> DataFrame:
-    """documents(doc_id, spans) -> one row per span (flat columns)."""
-    return docs.select(
-        "doc_id", F.explode("spans").alias("span")
-    ).select(
+    """documents(doc_id, spans[, language]) -> one row per span (flat
+    columns).  An optional doc-level `language` column rides along
+    (rlike-validated: unknown codes degrade to NULL = auto-detect, the
+    reference's `-` default)."""
+    has_lang = "language" in docs.columns
+    flat = docs.select(
+        "doc_id",
+        *(["language"] if has_lang else []),
+        F.explode("spans").alias("span"),
+    )
+    cols = [
         "doc_id",
         F.col("span.kind").alias("kind"),
         F.col("span.text").alias("text"),
         F.col("span.media_ref").alias("media_ref"),
         F.col("span.offset").alias("offset"),
-    )
+    ]
+    if has_lang:
+        cols.append(
+            F.when(
+                F.col("language").rlike(LANGUAGE_PATTERN), F.col("language")
+            ).alias("language")
+        )
+    return flat.select(*cols)
 
 
 def _restitch(flat: DataFrame, two_level_regroup: bool, bucket_size: int = 1024) -> DataFrame:
@@ -193,11 +217,16 @@ def extract_documents(
         # invalid payloads become NULL before the UDF: they never cross
         # the Arrow boundary and decode to null text (quarantine signal)
         payload = F.when(valid_payload_col("payload"), payload)
+    lang = (
+        F.col("language")
+        if "language" in flat.columns
+        else F.lit(None).cast(T.StringType())
+    )
     with_text = joined.withColumn(
         "out_text",
         F.when(
             F.col("kind") == "text", extract_text_spans(F.col("text"))
-        ).otherwise(ocr_media_spans(payload)),
+        ).otherwise(ocr_media_spans(payload, lang)),
     )
 
     cols = ["doc_id", "kind", "out_text", "media_ref", "offset"]

@@ -1164,6 +1164,88 @@ def _extract_spans_jpeg_oracle() -> str:
     return _golden_spans_oracle(_corpus_paths_jpeg()["golden_spans"])
 
 
+def _corpus_paths_mixedcase(n_docs: int = 40) -> dict[str, str]:
+    """All-mixed-case media tier (reference EN-36+ charsets incl.
+    lowercase + punctuation, `engine_realtime/charset_crnn.py:1`):
+    sentence-cased lowercase words with punctuation tails; the kernel's
+    per-line size classing + aspect gate disambiguate bbox-normalized
+    pairs like o/O and './-'."""
+    import os
+
+    from ms_ocr_spark.sources.datagen import write_corpus
+
+    cache = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), ".cache", f"corpus_mixed_{n_docs}"
+    )
+    return write_corpus(cache, n_docs=n_docs, seed=46, mixed_pct=1.0)
+
+
+def extract_spans_mixedcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-case + punctuation extraction tier over the widened 70-glyph
+    charset (A-Z 0-9 a-z . , ! ? - ' : ;)."""
+    from ms_ocr_spark.extraction.pipeline import extract_documents
+
+    paths = _corpus_paths_mixedcase()
+    docs = spark.read.parquet(paths["documents"])
+    media = spark.read.parquet(paths["media_store"])
+    out = extract_documents(docs, media)
+    return out.select("doc_id", F.posexplode("spans").alias("pos", "span")).select(
+        "doc_id",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
+_REGISTRY.append(("extract_spans_mixedcase", extract_spans_mixedcase, None))
+
+
+def _extract_spans_mixedcase_oracle() -> str:
+    return _golden_spans_oracle(_corpus_paths_mixedcase()["golden_spans"])
+
+
+def _corpus_paths_routed(n_docs: int = 40) -> dict[str, str]:
+    """Language-routed corpus (reference per-request `language` field
+    `-|ja|ja_vert|en`, `src/controller/Ocr.ts:37-39`): ~half the docs are
+    `ja_vert` with square glyph grids whose orientation auto-detect
+    misreads (band counts tie) — only the routing column decodes them."""
+    import os
+
+    from ms_ocr_spark.sources.datagen import write_corpus
+
+    cache = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), ".cache", f"corpus_routed_{n_docs}"
+    )
+    return write_corpus(cache, n_docs=n_docs, seed=47, routed_pct=0.5)
+
+
+def extract_spans_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document language routing tier: the docs table carries a
+    `language` column (rlike-validated, P13) that forces kernel layout
+    mode instead of auto-detect."""
+    from ms_ocr_spark.extraction.pipeline import extract_documents
+
+    paths = _corpus_paths_routed()
+    docs = spark.read.parquet(paths["documents"])
+    media = spark.read.parquet(paths["media_store"])
+    out = extract_documents(docs, media)
+    return out.select("doc_id", F.posexplode("spans").alias("pos", "span")).select(
+        "doc_id",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
+_REGISTRY.append(("extract_spans_routed", extract_spans_routed, None))
+
+
+def _extract_spans_routed_oracle() -> str:
+    return _golden_spans_oracle(_corpus_paths_routed()["golden_spans"])
+
+
 def media_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata extraction over binary payloads.  Oracle = the
     generator's golden_media_meta parquet (computed from the raw pixels
@@ -1313,6 +1395,8 @@ _LAZY_ORACLES: dict[str, Callable[[], str]] = {
     "extract_spans_vertical": _extract_spans_vertical_oracle,
     "extract_spans_warped": _extract_spans_warped_oracle,
     "extract_spans_jpeg": _extract_spans_jpeg_oracle,
+    "extract_spans_mixedcase": _extract_spans_mixedcase_oracle,
+    "extract_spans_routed": _extract_spans_routed_oracle,
     "media_image_metadata": _media_meta_oracle,
     "dedup_boxes_keep_first": _keepfirst_golden_oracle,
     "table_cells_from_media": _table_cells_oracle,

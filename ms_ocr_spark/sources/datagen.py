@@ -73,6 +73,16 @@ SKEW_DEGREES = np.arange(-3.0, 3.01, 0.5)
 
 # vertical tier (reference ja_vert): one token per column, read right to left
 _VERT_WORDS = [w for w in _OCR_WORDS if 3 <= len(w) <= 6]
+
+# mixed-case tier (round 3: reference EN-36+ charsets incl. lowercase,
+# `engine_realtime/charset_crnn.py:1`): lowercase words, sentence-cased per
+# line so every line carries a tall anchor for the kernel's size classing
+_MIXED_WORDS = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo "
+    "lima mike november oscar papa quebec romeo sierra tango uniform victor "
+    "whiskey xray yankee zulu spark jump quiz flock vexed dwarf"
+).split()
+_PUNCT_TAILS = ("", "", ".", ",", "!", "?", ":", ";", "-", "")
 _VCOL_PITCH_FPX = 9  # glyph width 5 + 4 gap (12 device px blank between columns)
 _VCHAR_PITCH_FPX = 10  # glyph height 7 + 3 gap (9 device px blank between glyphs)
 
@@ -126,6 +136,48 @@ def make_media_truth(seed: int, doc_i: int, off: int) -> str:
         hw = _h(seed, "mline", doc_i, off, li)
         words = _pick(_OCR_WORDS, hw, 1 + hw % 3, 11)
         lines.append(" ".join(words))
+    return "\n".join(lines)
+
+
+def make_vertical_square_truth(seed: int, doc_i: int, off: int) -> str:
+    """k x k glyph square (k=2..3), one column per truth line, rightmost
+    column first.  A SQUARE grid ties the kernel's row/column band counts,
+    so orientation auto-detect reads it horizontally (wrong) — decoding it
+    correctly requires the per-document `language='ja_vert'` routing
+    (reference `src/controller/Ocr.ts:37-39`, psm 5 vertical at
+    `engine_tesseract/main.py:32-70`)."""
+    h = _h(seed, "sqmedia", doc_i, off)
+    k = 2 + h % 2
+    pool = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    return "\n".join(
+        "".join(
+            pool[_h(seed, "sqch", doc_i, off, ci, ri) % len(pool)]
+            for ri in range(k)
+        )
+        for ci in range(k)
+    )
+
+
+def make_mixed_truth(seed: int, doc_i: int, off: int) -> str:
+    """Sentence-cased mixed-case text (1-2 lines, lowercase words with
+    punctuation tails + occasional apostrophe contraction).  The first
+    word of every line is capitalized — the tall anchor the kernel's
+    per-line size classing keys off (an all-x-height line is ambiguous to
+    any baseline-free matcher)."""
+    h = _h(seed, "mixmedia", doc_i, off)
+    n_lines = 1 + (h >> 8) % 2
+    lines = []
+    for li in range(n_lines):
+        hw = _h(seed, "mixline", doc_i, off, li)
+        words = list(_pick(_MIXED_WORDS, hw, 2 + hw % 2, 13))
+        words[0] = words[0].capitalize()
+        out = []
+        for wi, w in enumerate(words):
+            hp = _h(seed, "mixp", doc_i, off, li, wi)
+            if hp % 17 == 0 and len(w) > 3:
+                w = w[:-2] + "'" + w[-1]
+            out.append(w + _PUNCT_TAILS[hp % len(_PUNCT_TAILS)])
+        lines.append(" ".join(out))
     return "\n".join(lines)
 
 
@@ -256,12 +308,23 @@ def _gen_chunk(args: tuple) -> tuple[list, list, list]:
         vertical_pct,
         shear_pct,
         jpeg_pct,
+        mixed_pct,
+        routed_pct,
     ) = args
     doc_rows, media_rows, golden_rows, meta_rows = [], [], [], []
     n_skewed = int(n_docs * skew_doc_pct)
     for i in range(lo, hi):
         doc_id = f"doc-{i:08d}"
         mult = skew_mult if (n_skewed and i % max(1, n_docs // n_skewed) == 0) else 1
+        language = None
+        if routed_pct > 0:
+            # per-document language routing (reference Ocr.ts:37-39):
+            # ja_vert docs render media as square glyph grids that ONLY
+            # decode correctly via the routing column (auto-detect ties)
+            hl = _h(seed, "doclang", i)
+            language = (
+                "ja_vert" if hl % 1000 < routed_pct * 1000 else ("-", "en")[hl % 2]
+            )
         in_spans, out_spans = [], []
         for s in _spans_for_doc(seed, i, mult):
             off = s["offset"]
@@ -284,12 +347,24 @@ def _gen_chunk(args: tuple) -> tuple[list, list, list]:
                     and shear_pct > 0
                     and _h(seed, "isshear", i, off) % 1000 < shear_pct * 1000
                 )
-                if is_vert:
+                is_mixed = (
+                    not is_vert
+                    and not is_shear
+                    and mixed_pct > 0
+                    and _h(seed, "ismixed", i, off) % 1000 < mixed_pct * 1000
+                )
+                if language == "ja_vert":
+                    truth = make_vertical_square_truth(seed, i, off)
+                    img = render_vertical_image(seed, ref, truth)
+                elif is_vert:
                     truth = make_vertical_truth(seed, i, off)
                     img = render_vertical_image(seed, ref, truth)
                 elif is_shear:
                     truth = make_media_truth(seed, i, off)
                     img = render_sheared_image(seed, ref, truth)
+                elif is_mixed:
+                    truth = make_mixed_truth(seed, i, off)
+                    img = render_media_image(seed, ref, truth)
                 else:
                     truth = make_media_truth(seed, i, off)
                     img = render_media_image(seed, ref, truth)
@@ -335,7 +410,10 @@ def _gen_chunk(args: tuple) -> tuple[list, list, list]:
                 out_spans.append(
                     {"kind": "media", "text": truth, "media_ref": ref, "offset": off}
                 )
-        doc_rows.append({"doc_id": doc_id, "spans": in_spans})
+        drow = {"doc_id": doc_id, "spans": in_spans}
+        if routed_pct > 0:
+            drow["language"] = language
+        doc_rows.append(drow)
         golden_rows.append({"doc_id": doc_id, "spans": out_spans})
     return doc_rows, media_rows, golden_rows, meta_rows
 
@@ -348,6 +426,8 @@ def gen_corpus(
     vertical_pct: float = 0.0,
     shear_pct: float = 0.0,
     jpeg_pct: float = 0.0,
+    mixed_pct: float = 0.0,
+    routed_pct: float = 0.0,
     processes: int | None = None,
 ) -> tuple[pa.Table, pa.Table, pa.Table, pa.Table]:
     """Build (documents, media_store, golden_spans) arrow tables.
@@ -373,6 +453,8 @@ def gen_corpus(
                 vertical_pct,
                 shear_pct,
                 jpeg_pct,
+                mixed_pct,
+                routed_pct,
             )
         )
     if processes > 1:
@@ -386,7 +468,12 @@ def gen_corpus(
     media_rows = [r for p in parts for r in p[1]]
     golden_rows = [r for p in parts for r in p[2]]
     meta_rows = [r for p in parts for r in p[3]]
-    docs = pa.Table.from_pylist(doc_rows, schema=DOCS_SCHEMA)
+    docs_schema = (
+        DOCS_SCHEMA.append(pa.field("language", pa.string()))
+        if routed_pct > 0
+        else DOCS_SCHEMA
+    )
+    docs = pa.Table.from_pylist(doc_rows, schema=docs_schema)
     media = pa.Table.from_pylist(media_rows, schema=MEDIA_SCHEMA)
     golden = pa.Table.from_pylist(golden_rows, schema=DOCS_SCHEMA)
     meta = pa.Table.from_pylist(meta_rows, schema=MEDIA_META_SCHEMA)

@@ -27,7 +27,8 @@ def test_png_round_trip():
 
 def test_glyphs_distinct():
     bitmaps = {ch: glyph_bitmap(ch) for ch in ALPHABET}
-    assert len(ALPHABET) == 36
+    # A-Z 0-9 a-z plus . , ! ? - ' : ; (round-3 charset widening)
+    assert len(ALPHABET) == 70
     chars = sorted(bitmaps)
     for i, a in enumerate(chars):
         for b in chars[i + 1 :]:
@@ -35,11 +36,45 @@ def test_glyphs_distinct():
             assert d >= 3, f"{a} vs {b} differ by only {d} px"
 
 
-def test_glyph_rows_all_inked():
-    # line banding assumes every glyph has ink in its top and bottom rows
-    for ch in ALPHABET:
+def test_tall_glyphs_span_full_cell():
+    # line banding + size classing assume tall-class glyphs ink both the
+    # top and bottom cell rows; short glyphs only need to sit inside the
+    # band a tall anchor establishes
+    from ms_ocr_spark.extraction.ocr.kernel import _TPL_CHARS, _TPL_TALL
+
+    tall_chars = {c for c, t in zip(_TPL_CHARS, _TPL_TALL) if t}
+    for ch in tall_chars:
         bm = glyph_bitmap(ch)
         assert bm[0].any() and bm[-1].any(), ch
+
+
+def test_glyph_margin_within_gates():
+    """Cross-char template distances inside the (class, aspect) gates must
+    exceed the decoder's unambiguous-accept threshold — the structural
+    property that makes greedy nearest-template decode exact."""
+    from ms_ocr_spark.extraction.ocr.kernel import (
+        _TPL_ASPECT,
+        _TPL_CHARS,
+        _TPL_STACK,
+        _TPL_TALL,
+    )
+
+    flat = _TPL_STACK.reshape(len(_TPL_STACK), -1).astype(np.int32)
+    loga = np.log(_TPL_ASPECT)
+    worst = 1 << 30
+    for i in range(len(flat)):
+        same_gate = (
+            (_TPL_TALL == _TPL_TALL[i])
+            & (np.abs(loga - loga[i]) <= np.log(1.6))
+            & np.array([c != _TPL_CHARS[i] for c in _TPL_CHARS])
+        )
+        if same_gate.any():
+            d = np.abs(flat[same_gate] - flat[i]).sum(axis=1).min()
+            worst = min(worst, int(d))
+    # > 17: strictly above the decoder's early-exit distance would be 20,
+    # but rotated-variant cross pairs (e.g. F@-2deg vs P@+2deg) legally
+    # sit slightly lower; crops match their own 0-deg template far closer
+    assert worst >= 18, worst
 
 
 def test_decode_clean():
@@ -105,3 +140,22 @@ def test_arc90_prefers_low_link_density():
     out = extract_main_text(html)
     assert out is not None and out.startswith("the real content paragraph")
     assert "links" not in out
+
+
+def test_decode_mixedcase_clean():
+    from ms_ocr_spark.extraction.ocr.glyphs import render_text
+    text = "Hello, world! Spark's q-ok\nAbc xyz: jiffy?"
+    assert decode_image(render_text(text)) == text
+
+
+def test_mixed_tier_round_trip():
+    """Every mixed-case payload (rotation + noise) decodes to its exact
+    truth through the full kernel."""
+    from ms_ocr_spark.extraction.ocr import decode_media
+    from ms_ocr_spark.sources.datagen import gen_corpus
+
+    _, media, _, _ = gen_corpus(12, seed=46, mixed_pct=1.0, processes=1)
+    rows = media.to_pylist()
+    assert rows
+    for row in rows:
+        assert decode_image(decode_media(bytes(row["payload"]))) == row["truth_text"]

@@ -156,3 +156,41 @@ def test_validate_payloads_quarantines_corrupt_media(spark, corpus_dir):
         F.sum(F.size(F.filter("spans", lambda s: s["text"].isNull())))
     ).collect()[0][0]
     assert n_null == 1
+
+
+def test_language_routing_required_for_squares(spark, tmp_path):
+    """ja_vert docs render square glyph grids that auto-detect misreads
+    (row/column band counts tie); the language column must flip the
+    outcome from mismatched to golden-exact (reference Ocr.ts:37-39)."""
+    from ms_ocr_spark.sources.datagen import write_corpus
+
+    paths = write_corpus(str(tmp_path / "routed"), n_docs=24, seed=17, routed_pct=0.6)
+    docs = spark.read.parquet(paths["documents"])
+    media = spark.read.parquet(paths["media_store"])
+    golden = spark.read.parquet(paths["golden_spans"])
+    assert "language" in docs.columns
+
+    # WITH routing: exact
+    _assert_spans_equal(extract_documents(docs, media), golden)
+
+    # WITHOUT the language column: at least one ja_vert square misreads
+    r = extract_documents(docs.drop("language"), media).select(
+        "doc_id", F.to_json("spans").alias("js")
+    )
+    g = golden.select("doc_id", F.to_json("spans").alias("js"))
+    n_match = g.join(r, ["doc_id", "js"]).count()
+    assert n_match < golden.count(), "auto-detect decoded the squares; tier not ambiguous"
+
+
+def test_language_validation_rejects_unknown_codes(spark, tmp_path):
+    """P13: an invalid language code must degrade to auto-detect (NULL),
+    not crash or route."""
+    from ms_ocr_spark.extraction.pipeline import explode_spans
+    from ms_ocr_spark.sources.datagen import write_corpus
+
+    paths = write_corpus(str(tmp_path / "routedv"), n_docs=8, seed=18, routed_pct=0.5)
+    docs = spark.read.parquet(paths["documents"]).withColumn(
+        "language", F.lit("xx_bogus")
+    )
+    flat = explode_spans(docs)
+    assert flat.filter(F.col("language").isNotNull()).count() == 0
