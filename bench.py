@@ -46,6 +46,7 @@ HEADLINE = [
     "lsh_candidate_pairs_docs",
     "ngram_jaccard_pairs",
     "dedup_keepers_docs",
+    "dedup_keepers_cc_docs",
     "simhash_docs",
     "ann_brute_force_topk",
     "ann_lsh_topk",

@@ -92,6 +92,10 @@ def display_width(s: str) -> int:
     return sum(2 if unicodedata.east_asian_width(ch) in ("W", "F") else 1 for ch in s)
 
 
+# reference `_excel` default row height (`data_to_table/main.py:296`)
+_CELL_H_DEFAULT = 18
+
+
 def xlsx_from_cells(cells: list[dict]) -> bytes:
     """One-worksheet XLSX from matrix cells
     [{row_idx, col_idx, cell_text, row_span, col_span}, ...] — inline
@@ -100,6 +104,32 @@ def xlsx_from_cells(cells: list[dict]) -> bytes:
     by_pos = {(c["row_idx"], c["col_idx"]): c for c in cells}
     n_rows = max(c["row_idx"] for c in cells) + 1 if cells else 0
     n_cols = max(c["col_idx"] for c in cells) + 1 if cells else 0
+    # auto row heights (reference `_excel` parity, `data_to_table/
+    # main.py:119-149`, cellHeightDefault=18):
+    #   1. per row, 18 x the max line count among NON-merged cells;
+    #   2. each merged range then ASSIGNS its rows 18 x origin-line-count
+    #      spread evenly over the range (floor 18), in row-major anchor
+    #      order (= openpyxl merged_cells insertion order), overriding 1.
+    row_h = {r: _CELL_H_DEFAULT for r in range(n_rows)}
+    for r in range(n_rows):
+        for c in range(n_cols):
+            cell = by_pos.get((r, c))
+            if cell is None:
+                continue
+            if int(cell.get("row_span", 1)) == 1 and int(cell.get("col_span", 1)) == 1:
+                lines = str(cell["cell_text"]).count("\n") + 1
+                row_h[r] = max(row_h[r], _CELL_H_DEFAULT * lines)
+    for r in range(n_rows):
+        for c in range(n_cols):
+            cell = by_pos.get((r, c))
+            if cell is None:
+                continue
+            rs, cspan = int(cell.get("row_span", 1)), int(cell.get("col_span", 1))
+            if rs > 1 or cspan > 1:
+                lines = str(cell["cell_text"]).count("\n") + 1
+                h = max(_CELL_H_DEFAULT * lines / rs, _CELL_H_DEFAULT)
+                for rr in range(r, r + rs):
+                    row_h[rr] = h
     rows_xml = []
     merges = []
     for r in range(n_rows):
@@ -117,7 +147,10 @@ def xlsx_from_cells(cells: list[dict]) -> bytes:
             if rs > 1 or cspan > 1:
                 end = f"{_col_letter(c + cspan - 1)}{r + rs}"
                 merges.append(f"{ref}:{end}")
-        rows_xml.append(f'<row r="{r + 1}">{"".join(cs)}</row>')
+        rows_xml.append(
+            f'<row r="{r + 1}" ht="{row_h[r]:g}" customHeight="1">'
+            f"{''.join(cs)}</row>"
+        )
     merge_xml = (
         f'<mergeCells count="{len(merges)}">'
         + "".join(f'<mergeCell ref="{m}"/>' for m in merges)

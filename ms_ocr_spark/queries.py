@@ -713,6 +713,68 @@ def dedup_keepers_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "dedup_keepers_cc_docs",
+    f"""
+    WITH RECURSIVE {_MINHASH_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
+      FROM pairs p JOIN sh a ON a.doc_id = p.id_a
+                   JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+      GROUP BY p.id_a, p.id_b),
+    verified AS (
+      SELECT i.id_a, i.id_b
+      FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+                   JOIN sizes sb ON sb.doc_id = i.id_b
+      WHERE i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.5),
+    und AS (SELECT id_a AS a, id_b AS b FROM verified
+            UNION SELECT id_b AS a, id_a AS b FROM verified),
+    reach(a, b) AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN und e ON e.a = r.b),
+    labels AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+      FROM reach GROUP BY a),
+    near_losers AS (SELECT doc_id FROM labels WHERE doc_id != component),
+    exact_losers AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+        FROM documents) WHERE doc_id != keeper)
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM exact_losers)
+      AND doc_id NOT IN (SELECT doc_id FROM near_losers)
+    """,
+)
+def dedup_keepers_cc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-structural dedup keepers: near-dup losers come from
+    CONNECTED COMPONENTS over the verified-pair edge list (min-label
+    pointer jumping, `dedup.component_labels`) instead of pairwise
+    id_b-drop — for a chain A~B~C (A≁C) the keeper is min(A,B,C)
+    regardless of which orientation LSH emitted each pair in.  Oracle:
+    DuckDB recursive CTE computing min reachable id per node."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = track(dedup.shingles(docs))
+    pairs = dedup.lsh_candidate_pairs(dedup.minhash_signature_arrays(sh))
+    near = dedup.jaccard_verify(pairs, docs, threshold=0.5, shingles_df=sh)
+    labels = dedup.component_labels(near.select("id_a", "id_b"))
+    near_losers = labels.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    w = Window.partitionBy(F.md5("text"))
+    exact_losers = (
+        docs.withColumn("keeper", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select("doc_id")
+    )
+    return (
+        docs.select("doc_id")
+        .join(exact_losers, "doc_id", "left_anti")
+        .join(near_losers, "doc_id", "left_anti")
+    )
+
+
 def _simhash_sql(bits: int = 16) -> str:
     h = md5_long_sql("tok")
     bit_sums = ", ".join(

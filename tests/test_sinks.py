@@ -37,6 +37,37 @@ def test_xlsx_structure_and_merges():
     assert data == xlsx_from_cells(_cells())
 
 
+def test_xlsx_row_heights():
+    """Auto row heights (reference `_excel` parity, data_to_table/
+    main.py:119-149): 18/line for non-merged cells; a merged range
+    ASSIGNS its rows the origin's 18 x lines spread over the range
+    (floor 18), overriding the per-row rule."""
+    cells = [
+        # row 0: plain 3-line cell -> ht 54
+        {"doc_id": "d", "row_idx": 0, "col_idx": 0, "cell_text": "a\nb\nc", "row_span": 1, "col_span": 1},
+        # rows 1-2: vertical merge, 3-line origin -> 18*3/2 = 27 each
+        {"doc_id": "d", "row_idx": 1, "col_idx": 0, "cell_text": "x\ny\nz", "row_span": 2, "col_span": 1},
+        # row 3: single-line -> default 18
+        {"doc_id": "d", "row_idx": 3, "col_idx": 0, "cell_text": "end", "row_span": 1, "col_span": 1},
+    ]
+    with zipfile.ZipFile(io.BytesIO(xlsx_from_cells(cells))) as z:
+        sheet = z.read("xl/worksheets/sheet1.xml").decode()
+    assert '<row r="1" ht="54" customHeight="1">' in sheet
+    assert '<row r="2" ht="27" customHeight="1">' in sheet
+    assert '<row r="3" ht="27" customHeight="1">' in sheet
+    assert '<row r="4" ht="18" customHeight="1">' in sheet
+
+    # overlapping merges: the LATER range's assignment wins (reference
+    # iterates merged ranges in insertion order and sets, not maxes)
+    cells.append(
+        {"doc_id": "d", "row_idx": 1, "col_idx": 1, "cell_text": "p\nq", "row_span": 2, "col_span": 1}
+    )
+    with zipfile.ZipFile(io.BytesIO(xlsx_from_cells(cells))) as z:
+        sheet = z.read("xl/worksheets/sheet1.xml").decode()
+    assert '<row r="2" ht="18" customHeight="1">' in sheet  # 18*2/2
+    assert '<row r="3" ht="18" customHeight="1">' in sheet
+
+
 def test_xlsx_sink_distributed(spark):
     rows = [(c["doc_id"], c["row_idx"], c["col_idx"], c["cell_text"], c["row_span"], c["col_span"]) for c in _cells()]
     df = spark.createDataFrame(
