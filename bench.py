@@ -65,6 +65,7 @@ HEADLINE = [
     "extract_spans_vertical",
     "extract_spans_warped",
     "extract_spans_jpeg",
+    "extract_spans_tiff",
     "extract_spans_mixedcase",
     "extract_spans_routed",
 ]

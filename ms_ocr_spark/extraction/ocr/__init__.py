@@ -3,6 +3,7 @@ import numpy as np
 from .jpeg import decode_gray_jpeg, encode_gray_jpeg, jfif_density
 from .kernel import decode_image
 from .png import decode_gray, encode_gray
+from .tiff import decode_gray_tiff, encode_gray_tiff, tiff_dpi
 
 
 def decode_media(buf: bytes) -> np.ndarray:
@@ -14,6 +15,8 @@ def decode_media(buf: bytes) -> np.ndarray:
         return decode_gray(buf)
     if buf[:3] == b"\xff\xd8\xff":
         return decode_gray_jpeg(buf)
+    if buf[:4] in (b"II*\0", b"MM\0*"):
+        return decode_gray_tiff(buf)
     raise ValueError("undecodable media format")
 
 
@@ -24,5 +27,8 @@ __all__ = [
     "decode_gray_jpeg",
     "encode_gray_jpeg",
     "jfif_density",
+    "decode_gray_tiff",
+    "encode_gray_tiff",
+    "tiff_dpi",
     "decode_media",
 ]

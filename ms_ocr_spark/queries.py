@@ -1226,6 +1226,47 @@ def _extract_spans_jpeg_oracle() -> str:
     return _golden_spans_oracle(_corpus_paths_jpeg()["golden_spans"])
 
 
+def _corpus_paths_tiff(n_docs: int = 40) -> dict[str, str]:
+    """Three-codec media tier covering the reference's FULL upload
+    allow-list (jpg/jpeg/png/tif/tiff, `env/local.env:25`): ~30% baseline
+    JFIF, ~30% multi-strip baseline TIFF (`extraction/ocr/tiff.py`),
+    remainder PNG — `decode_media` dispatches per payload on magic
+    bytes inside one Arrow UDF."""
+    import os
+
+    from ms_ocr_spark.sources.datagen import write_corpus
+
+    cache = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), ".cache", f"corpus_tiff_{n_docs}"
+    )
+    return write_corpus(cache, n_docs=n_docs, seed=48, jpeg_pct=0.3, tiff_pct=0.45)
+
+
+def extract_spans_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-allow-list extraction tier (PNG + JPEG + TIFF payloads mixed
+    in one corpus)."""
+    from ms_ocr_spark.extraction.pipeline import extract_documents
+
+    paths = _corpus_paths_tiff()
+    docs = spark.read.parquet(paths["documents"])
+    media = spark.read.parquet(paths["media_store"])
+    out = extract_documents(docs, media)
+    return out.select("doc_id", F.posexplode("spans").alias("pos", "span")).select(
+        "doc_id",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
+_REGISTRY.append(("extract_spans_tiff", extract_spans_tiff, None))
+
+
+def _extract_spans_tiff_oracle() -> str:
+    return _golden_spans_oracle(_corpus_paths_tiff()["golden_spans"])
+
+
 def _corpus_paths_mixedcase(n_docs: int = 40) -> dict[str, str]:
     """All-mixed-case media tier (reference EN-36+ charsets incl.
     lowercase + punctuation, `engine_realtime/charset_crnn.py:1`):
@@ -1457,6 +1498,7 @@ _LAZY_ORACLES: dict[str, Callable[[], str]] = {
     "extract_spans_vertical": _extract_spans_vertical_oracle,
     "extract_spans_warped": _extract_spans_warped_oracle,
     "extract_spans_jpeg": _extract_spans_jpeg_oracle,
+    "extract_spans_tiff": _extract_spans_tiff_oracle,
     "extract_spans_mixedcase": _extract_spans_mixedcase_oracle,
     "extract_spans_routed": _extract_spans_routed_oracle,
     "media_image_metadata": _media_meta_oracle,

@@ -27,6 +27,7 @@ import pyarrow.parquet as pq
 
 from ms_ocr_spark.extraction.ocr.glyphs import ALPHABET, render_placed, render_text
 from ms_ocr_spark.extraction.ocr.jpeg import decode_gray_jpeg, encode_gray_jpeg
+from ms_ocr_spark.extraction.ocr.tiff import encode_gray_tiff
 from ms_ocr_spark.extraction.ocr.png import encode_gray
 
 SPAN_FIELDS = [
@@ -308,6 +309,7 @@ def _gen_chunk(args: tuple) -> tuple[list, list, list]:
         vertical_pct,
         shear_pct,
         jpeg_pct,
+        tiff_pct,
         mixed_pct,
         routed_pct,
     ) = args
@@ -373,7 +375,29 @@ def _gen_chunk(args: tuple) -> tuple[list, list, list]:
                     jpeg_pct > 0
                     and _h(seed, "isjpeg", i, off) % 1000 < jpeg_pct * 1000
                 )
-                if is_jpeg:
+                is_tiff = (
+                    not is_jpeg
+                    and tiff_pct > 0
+                    and _h(seed, "istiff", i, off) % 1000 < tiff_pct * 1000
+                )
+                if is_tiff:
+                    # lossless multi-strip baseline TIFF (reference accepts
+                    # tif/tiff last in its allow-list, env/local.env:25)
+                    payload = encode_gray_tiff(img, dpi=side["dpi"])
+                    meta_rows.append(
+                        {
+                            "media_ref": ref,
+                            "width": int(img.shape[1]),
+                            "height": int(img.shape[0]),
+                            "ink_ratio": round(float((img < 128).mean()), 6),
+                            "mean_intensity": round(float(img.mean()), 6),
+                            "format": "tiff",
+                            "dpi": float(round(side["dpi"])) if side["dpi"] else None,
+                            "icc_name": None,
+                            "orientation": None,
+                        }
+                    )
+                elif is_jpeg:
                     # lossy tier: golden metadata measures the DECODED
                     # pixels (the engine can only see those); flat-quant
                     # encoding keeps the round trip within ±1 gray level
@@ -426,6 +450,7 @@ def gen_corpus(
     vertical_pct: float = 0.0,
     shear_pct: float = 0.0,
     jpeg_pct: float = 0.0,
+    tiff_pct: float = 0.0,
     mixed_pct: float = 0.0,
     routed_pct: float = 0.0,
     processes: int | None = None,
@@ -453,6 +478,7 @@ def gen_corpus(
                 vertical_pct,
                 shear_pct,
                 jpeg_pct,
+                tiff_pct,
                 mixed_pct,
                 routed_pct,
             )

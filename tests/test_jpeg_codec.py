@@ -56,8 +56,11 @@ def test_decode_media_dispatch():
     assert np.abs(
         decode_media(encode_gray_jpeg(img)).astype(int) - img.astype(int)
     ).max() <= 2
+    from ms_ocr_spark.extraction.ocr import encode_gray_tiff
+
+    assert np.array_equal(decode_media(encode_gray_tiff(img)), img)
     with pytest.raises(ValueError):
-        decode_media(b"II*\x00 tiff-not-supported")
+        decode_media(b"II*\x00 truncated-garbage-tiff")
     with pytest.raises(ValueError):
         decode_media(b"garbage")
 

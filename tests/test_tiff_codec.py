@@ -1,0 +1,107 @@
+"""Baseline TIFF codec unit tests (extraction/ocr/tiff.py) + the
+three-codec extraction tier covering the reference's full upload
+allow-list (jpg/jpeg/png/tif/tiff, /root/reference/env/local.env:25)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from ms_ocr_spark.extraction.ocr import decode_image, decode_media
+from ms_ocr_spark.extraction.ocr.tiff import (
+    decode_gray_tiff,
+    encode_gray_tiff,
+    tiff_dpi,
+)
+
+
+def test_round_trip_lossless():
+    rng = np.random.default_rng(11)
+    for shape in [(8, 8), (53, 201), (64, 64), (1, 1), (200, 33)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        assert np.array_equal(decode_gray_tiff(encode_gray_tiff(img)), img)
+
+
+def test_multi_strip_layout():
+    """rows_per_strip < height forces several strips; the decoder must
+    reassemble them in order (incl. a short final strip)."""
+    img = np.arange(130 * 7, dtype=np.uint64).astype(np.uint8).reshape(130, 7)
+    buf = encode_gray_tiff(img, rows_per_strip=48)  # 48+48+34
+    assert np.array_equal(decode_gray_tiff(buf), img)
+
+
+def test_dpi_round_trip():
+    img = np.zeros((16, 16), dtype=np.uint8)
+    assert tiff_dpi(encode_gray_tiff(img, dpi=300)) == 300.0
+    assert tiff_dpi(encode_gray_tiff(img)) is None
+
+
+def _hand_built(img: np.ndarray, endian: str, photometric: int) -> bytes:
+    """Hand-assembled single-strip TIFF in either endianness — the decoder
+    must not assume the encoder's LE layout."""
+    h, w = img.shape
+    pix = (255 - img if photometric == 0 else img).tobytes()
+    e = "<" if endian == "II" else ">"
+    magic = struct.pack(e + "2sHI", endian.encode(), 42, 8 + len(pix))
+    tags = [
+        (256, 4, 1, w),
+        (257, 4, 1, h),
+        (258, 3, 1, 8),
+        (259, 3, 1, 1),
+        (262, 3, 1, photometric),
+        (273, 4, 1, 8),
+        (277, 3, 1, 1),
+        (278, 4, 1, h),
+        (279, 4, 1, len(pix)),
+    ]
+    ifd = struct.pack(e + "H", len(tags))
+    for tag, typ, count, value in tags:
+        if typ == 3:  # SHORT values sit left-justified in the 4-byte slot
+            slot = struct.pack(e + "HH", value, 0)
+            ifd += struct.pack(e + "HHI", tag, typ, count) + slot
+        else:
+            ifd += struct.pack(e + "HHII", tag, typ, count, value)
+    ifd += struct.pack(e + "I", 0)
+    return magic + pix + ifd
+
+
+def test_big_endian_and_white_is_zero():
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    for endian in ("II", "MM"):
+        for photometric in (0, 1):
+            buf = _hand_built(img, endian, photometric)
+            assert np.array_equal(decode_gray_tiff(buf), img), (endian, photometric)
+
+
+def test_unsupported_layouts_raise():
+    img = np.zeros((8, 8), dtype=np.uint8)
+    good = encode_gray_tiff(img)
+    with pytest.raises(ValueError):
+        decode_gray_tiff(b"II*\0" + good[4:20])  # truncated IFD offset target
+    lzw = bytearray(good)
+    # patch Compression (tag 259) value to 5 (LZW): find its IFD entry
+    idx = lzw.find(struct.pack("<HH", 259, 3))
+    lzw[idx + 8 : idx + 10] = struct.pack("<H", 5)
+    with pytest.raises(ValueError):
+        decode_gray_tiff(bytes(lzw))
+
+
+def test_tiff_tier_ocr_exact():
+    """Every TIFF payload in the three-codec tier decodes to its exact
+    truth text through the full kernel."""
+    from ms_ocr_spark.sources.datagen import gen_corpus
+
+    _, media, _, meta = gen_corpus(
+        16, seed=48, jpeg_pct=0.3, tiff_pct=0.45, processes=1
+    )
+    formats = {m["media_ref"]: m["format"] for m in meta.to_pylist()}
+    n_tiff = 0
+    for row in media.to_pylist():
+        buf = bytes(row["payload"])
+        if formats[row["media_ref"]] == "tiff":
+            assert buf[:4] == b"II*\0"
+            n_tiff += 1
+        assert decode_image(decode_media(buf)) == row["truth_text"]
+    assert n_tiff >= 3, f"tier produced too few TIFFs ({n_tiff})"
