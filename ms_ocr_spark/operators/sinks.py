@@ -60,6 +60,7 @@ _XLSX_STATIC = {
         '<Default Extension="xml" ContentType="application/xml"/>'
         '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
         '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+        '<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>'
         "</Types>"
     ),
     "_rels/.rels": (
@@ -78,7 +79,29 @@ _XLSX_STATIC = {
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
         '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+        '<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/>'
         "</Relationships>"
+    ),
+    # cell style parity with the reference `_excel` loop
+    # (`data_to_table/main.py:123-124,167`): Calibri 11, thin border on all
+    # four sides, center/center alignment with wrap — applied to every cell
+    # via cellXfs index 1 (index 0 stays the OOXML default xf)
+    "xl/styles.xml": (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        '<fonts count="1"><font><sz val="11"/><name val="Calibri"/></font></fonts>'
+        '<fills count="2"><fill><patternFill patternType="none"/></fill>'
+        '<fill><patternFill patternType="gray125"/></fill></fills>'
+        '<borders count="2"><border><left/><right/><top/><bottom/><diagonal/></border>'
+        '<border><left style="thin"/><right style="thin"/><top style="thin"/>'
+        '<bottom style="thin"/><diagonal/></border></borders>'
+        '<cellStyleXfs count="1"><xf numFmtId="0" fontId="0" fillId="0" borderId="0"/></cellStyleXfs>'
+        '<cellXfs count="2">'
+        '<xf numFmtId="0" fontId="0" fillId="0" borderId="0" xfId="0"/>'
+        '<xf numFmtId="0" fontId="0" fillId="0" borderId="1" xfId="0" '
+        'applyBorder="1" applyAlignment="1">'
+        '<alignment horizontal="center" vertical="center" wrapText="1"/></xf>'
+        "</cellXfs></styleSheet>"
     ),
 }
 
@@ -140,7 +163,7 @@ def xlsx_from_cells(cells: list[dict]) -> bytes:
                 continue
             ref = f"{_col_letter(c)}{r + 1}"
             cs.append(
-                f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">'
+                f'<c r="{ref}" s="1" t="inlineStr"><is><t xml:space="preserve">'
                 f"{_xml_escape(str(cell['cell_text']))}</t></is></c>"
             )
             rs, cspan = int(cell.get("row_span", 1)), int(cell.get("col_span", 1))

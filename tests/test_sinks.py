@@ -29,7 +29,15 @@ def test_xlsx_structure_and_merges():
         names = set(z.namelist())
         assert "xl/worksheets/sheet1.xml" in names and "xl/workbook.xml" in names
         sheet = z.read("xl/worksheets/sheet1.xml").decode()
-    assert '<c r="A1" t="inlineStr"><is><t xml:space="preserve">A1</t></is></c>' in sheet
+        styles = z.read("xl/styles.xml").decode()
+        ct = z.read("[Content_Types].xml").decode()
+    # cell styling parity (reference _excel: Calibri 11, thin borders,
+    # center/center + wrap): every cell points at cellXfs index 1
+    assert "/xl/styles.xml" in ct
+    assert '<name val="Calibri"/>' in styles and '<sz val="11"/>' in styles
+    assert styles.count('style="thin"') == 4
+    assert '<alignment horizontal="center" vertical="center" wrapText="1"/>' in styles
+    assert '<c r="A1" s="1" t="inlineStr"><is><t xml:space="preserve">A1</t></is></c>' in sheet
     assert "WIDE &lt;&amp;&gt;" in sheet  # XML-escaped
     assert '<mergeCell ref="B1:C1"/>' in sheet  # col_span 2
     assert '<mergeCell ref="A2:A3"/>' in sheet  # row_span 2
