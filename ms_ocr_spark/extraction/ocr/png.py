@@ -115,6 +115,55 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+def encode_rgb(img: np.ndarray) -> bytes:
+    """uint8 HxWx3 array -> PNG bytes (color type 2, bit depth 8, filter
+    0) — debug-artifact color path (reference S10 heatmap writes,
+    `image_processor/main.py:325-362`)."""
+    if img.dtype != np.uint8 or img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("encode_rgb expects an HxWx3 uint8 array")
+    h, w, _ = img.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + img[r].tobytes() for r in range(h))
+    return (
+        _SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def decode_rgb(data: bytes) -> np.ndarray:
+    """PNG bytes (truecolor-8, filter 0 — what `encode_rgb` writes) ->
+    uint8 HxWx3 array.  Debug-artifact scope only; filtered scanlines
+    raise."""
+    if data[:8] != _SIGNATURE:
+        raise ValueError("not a PNG")
+    pos = 8
+    width = height = None
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            width, height, depth, ctype = struct.unpack(">IIBB", payload[:10])
+            if depth != 8 or ctype != 2:
+                raise ValueError(f"unsupported PNG: depth={depth} ctype={ctype}")
+        elif tag == b"IDAT":
+            idat.extend(payload)
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * 3 + 1
+    flat = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride)
+    if flat[:, 0].any():
+        raise ValueError("decode_rgb supports filter-0 scanlines only")
+    return flat[:, 1:].reshape(height, width, 3).copy()
+
+
 def decode_gray(data: bytes) -> np.ndarray:
     """PNG bytes (grayscale-8) -> uint8 HxW array."""
     if data[:8] != _SIGNATURE:

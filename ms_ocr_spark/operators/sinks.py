@@ -278,3 +278,50 @@ def pdf_overlay_bytes(boxes_df: DataFrame, doc_col: str = "doc_id") -> DataFrame
         )
 
     return boxes_df.groupBy(doc_col).applyInPandas(_build, schema=ARTIFACT_SCHEMA)
+
+
+DEBUG_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("stage", T.StringType()),
+        T.StructField("artifact", T.BinaryType()),
+    ]
+)
+
+
+def debug_image_bytes(media_df: DataFrame, stages: list[str] | None = None) -> DataFrame:
+    """(media_ref, stage, artifact=PNG bytes) — intermediate kernel-stage
+    images per payload (reference S10 debug image sink,
+    `image_processor/main.py:330-398` write/writeMemory; stages include
+    the K13 heatmap and K14 box overlay).
+
+    mapInPandas keeps payloads executor-side end to end (decode ->
+    stage render -> PNG encode inside one Arrow batch); undecodable
+    payloads yield zero rows (the extraction pipeline, not the debug
+    sink, owns quarantine reporting).
+    """
+
+    def _gen(batches):
+        from ms_ocr_spark.extraction.ocr import decode_media, encode_gray
+        from ms_ocr_spark.extraction.ocr.kernel import debug_stage_images
+        from ms_ocr_spark.extraction.ocr.png import encode_rgb
+
+        for pdf in batches:
+            out = []
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    img = decode_media(bytes(payload))
+                except Exception:
+                    continue
+                for stage, arr in debug_stage_images(img).items():
+                    if stages is not None and stage not in stages:
+                        continue
+                    enc = encode_rgb(arr) if arr.ndim == 3 else encode_gray(arr)
+                    out.append((ref, stage, enc))
+            yield pd.DataFrame(out, columns=["media_ref", "stage", "artifact"])
+
+    return media_df.select("media_ref", "payload").mapInPandas(
+        _gen, schema=DEBUG_IMAGE_SCHEMA
+    )

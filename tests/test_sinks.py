@@ -111,3 +111,38 @@ def test_pdf_sink_distributed(spark):
     )
     out = pdf_overlay_bytes(df).collect()
     assert len(out) == 1 and bytes(out[0]["artifact"]).startswith(b"%PDF")
+
+
+def test_debug_image_sink(spark, tmp_path):
+    """S10 debug image sink: every decodable payload yields the five
+    kernel-stage PNGs (gray stages round-trip through decode_gray, the
+    JET heatmap through decode_rgb); undecodable payloads yield nothing."""
+    import numpy as np
+
+    from ms_ocr_spark.extraction.ocr import decode_gray
+    from ms_ocr_spark.extraction.ocr.png import decode_rgb
+    from ms_ocr_spark.operators.sinks import debug_image_bytes
+    from ms_ocr_spark.sources.datagen import write_corpus
+
+    paths = write_corpus(str(tmp_path / "dbg"), n_docs=4, seed=19)
+    media = spark.read.parquet(paths["media_store"]).limit(3)
+    extra = spark.createDataFrame(
+        [("bad-ref", bytearray(b"garbage-not-an-image"))],
+        media.select("media_ref", "payload").schema,
+    )
+    rows = debug_image_bytes(media.select("media_ref", "payload").union(extra)).collect()
+    by_ref: dict = {}
+    for r in rows:
+        by_ref.setdefault(r["media_ref"], {})[r["stage"]] = bytes(r["artifact"])
+    assert "bad-ref" not in by_ref
+    assert len(by_ref) == 3
+    for stages in by_ref.values():
+        assert set(stages) == {"gray", "deskewed", "binarized", "boxes", "heatmap"}
+        mask = decode_gray(stages["binarized"])
+        assert set(np.unique(mask)) <= {0, 255}
+        hm = decode_rgb(stages["heatmap"])
+        assert hm.ndim == 3 and hm.shape[2] == 3
+        # heatmap/boxes are drawn in the DESKEWED space (rotation can
+        # expand the canvas relative to the raw gray input)
+        assert decode_gray(stages["deskewed"]).shape == hm.shape[:2]
+        assert decode_gray(stages["boxes"]).shape == hm.shape[:2]
