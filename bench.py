@@ -304,13 +304,28 @@ def main() -> None:
     attempts: list[dict] = []
     runs: dict[int, dict] = {}
     t_ladder = time.time()
-    for attempt in range(3):
+    for attempt in range(4):
         # a local[1] rung is ~4x slower, so the (1,4) ladder uses a smaller
         # corpus — BOTH rungs of a pair always share one corpus, so the
         # ratio is unaffected; sized so one attempt leaves retry headroom
         ladder_docs = BENCH_DOCS // 2 if n_lo == 1 else (BENCH_DOCS * 2) // 3
-        pre = kernel_pool_control(n_imgs=1200, pairs=((n_lo, n_hi),))
-        pre_eff = pre[f"pool_scaling_efficiency_{n_lo}_to_{n_hi}"]
+        # an ABBA pair costs minutes; a probe costs ~20 s.  When the
+        # pre-probe says the HOST cannot scale this pair right now (the
+        # VM throttles on multi-minute windows), don't burn an attempt on
+        # a doomed window — sleep and re-probe until the window recovers
+        # (bounded so a permanently sick host still produces an artifact)
+        pre_eff = 0.0
+        for wait in range(6):
+            pre = kernel_pool_control(n_imgs=1200, pairs=((n_lo, n_hi),))
+            pre_eff = pre[f"pool_scaling_efficiency_{n_lo}_to_{n_hi}"]
+            if pre_eff >= 0.85 or time.time() - t_ladder > 1100:
+                break
+            print(
+                f"bench: pre-probe {n_lo}->{n_hi}={pre_eff} unhealthy,"
+                " waiting 45 s for the window to recover",
+                file=sys.stderr,
+            )
+            time.sleep(45)
         lo1 = _extract_subprocess(n_lo, n_docs=ladder_docs)
         hi1 = _extract_subprocess(n_hi, n_docs=ladder_docs)
         hi2 = _extract_subprocess(n_hi, n_docs=ladder_docs)
@@ -345,7 +360,7 @@ def main() -> None:
             break
         if not window_valid and (n_lo, n_hi) != (1, 4):
             n_lo, n_hi = 1, 4  # most throttle-immune rungs for the retry
-        if time.time() - t_ladder > 850:
+        if time.time() - t_ladder > 1100:
             break
     runs[CPUS] = _extract_subprocess(CPUS)
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ms_ocr_spark.functions.hashing import MERSENNE31, md5_long, perm_params
 from ms_ocr_spark.plans.cache import track
@@ -264,6 +265,7 @@ def component_labels(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 50,
+    driver_collect_threshold: int = 1_000_000,
 ) -> DataFrame:
     """(id, component) for every node in an undirected edge list; the
     component label is the MINIMUM node id reachable from the node.
@@ -287,9 +289,48 @@ def component_labels(
     orientation-independent: pairwise id_b-drop keeps a set that depends
     on which side LSH emitted first, while min-label components keep one
     doc per CLUSTER (A~B~C with A≁C still collapses to min(A,B,C)).
+
+    Size-adaptive execution: at or below `driver_collect_threshold`
+    symmetrized edges (default 1M ≈ tens of MB), the edge list is
+    collected and solved with driver-side union-find — the same bounded-
+    collect tradeoff as a broadcast join, and it removes the per-round
+    job-scheduling overhead that dominates small graphs.  Above the
+    threshold the distributed pointer-jumping loop runs.  Both paths
+    return identical (id, component) labels.
     """
     und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # checkpoint the symmetrized edge list BEFORE iterating: edges often
+    # arrive at the end of an expensive pipeline (LSH + Jaccard verify),
+    # and every round references sym — without truncation each round
+    # would recompute that whole upstream subtree
+    sym = und.union(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    if sym.count() <= driver_collect_threshold:
+        pairs = [(r["a"], r["b"]) for r in sym.collect()]
+        parent: dict = {}
+
+        def _find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in pairs:
+            ra, rb = _find(a), _find(b)
+            if ra != rb:
+                # union-by-min: every set's root stays its minimum id
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = sorted({n for p in pairs for n in p})
+        id_type = sym.schema["a"].dataType
+        return edges.sparkSession.createDataFrame(
+            [(n, _find(n)) for n in nodes],
+            T.StructType(
+                [T.StructField("id", id_type), T.StructField("component", id_type)]
+            ),
+        )
     labels = (
         sym.select(F.col("a").alias("id")).distinct()
         .withColumn("component", F.col("id"))

@@ -180,10 +180,14 @@ def test_component_labels_chain_and_orientation(spark):
     )
     want = {("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")}
     for edges in (fwd, rev):
-        got = {
-            (r["id"], r["component"]) for r in component_labels(edges).collect()
-        }
-        assert got == want
+        for thr in (1_000_000, 0):  # driver union-find / distributed loop
+            got = {
+                (r["id"], r["component"])
+                for r in component_labels(
+                    edges, driver_collect_threshold=thr
+                ).collect()
+            }
+            assert got == want, thr
 
 
 def test_component_labels_long_path_converges_fast(spark):
@@ -196,6 +200,7 @@ def test_component_labels_long_path_converges_fast(spark):
         [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(n - 1)],
         "id_a string, id_b string",
     )
-    labels = component_labels(edges, max_iter=10)
+    # force the distributed path (driver union-find would trivially pass)
+    labels = component_labels(edges, max_iter=10, driver_collect_threshold=0)
     assert labels.filter(F.col("component") != "n000").count() == 0
     assert labels.count() == n
