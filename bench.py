@@ -249,6 +249,21 @@ def main() -> None:
         return
 
     _corpus_dir()  # generate once, outside the timed subprocess runs
+
+    # per-query timings are compared round over round, so they deserve the
+    # same window hygiene as the scaling ladder: a ~20 s no-Spark probe
+    # predicts a throttled window — wait it out (bounded) before timing
+    for _ in range(5):
+        warm = kernel_pool_control(n_imgs=1200, pairs=((1, 4),))
+        if warm["pool_scaling_efficiency_1_to_4"] >= 0.85:
+            break
+        print(
+            f"bench: headline pre-probe 1->4="
+            f"{warm['pool_scaling_efficiency_1_to_4']} unhealthy,"
+            " waiting 45 s",
+            file=sys.stderr,
+        )
+        time.sleep(45)
     timings, sf = run_headline_queries()
 
     # Scaling ladder (sandbox proxy for two cluster sizes, BASELINE.json

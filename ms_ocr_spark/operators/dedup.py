@@ -306,8 +306,11 @@ def component_labels(
     sym = und.union(
         und.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint()
-    if sym.count() <= driver_collect_threshold:
-        pairs = [(r["a"], r["b"]) for r in sym.collect()]
+    # ONE action decides the path and fetches the data: limit(K+1) stops
+    # the scan early on large graphs, so the size probe costs nothing extra
+    head = sym.limit(driver_collect_threshold + 1).collect()
+    if len(head) <= driver_collect_threshold:
+        pairs = [(r["a"], r["b"]) for r in head]
         parent: dict = {}
 
         def _find(x):

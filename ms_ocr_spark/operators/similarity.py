@@ -78,26 +78,67 @@ def brute_force_topk(
     )
 
 
-def lsh_bucket(vec: Column, n_planes: int = 8, dim: int = 64, table: int = 0) -> Column:
-    """Bucket id = packed sign bits of n_planes ±1 random hyperplanes.
+def lsh_buckets_all(
+    vec: Column, n_planes: int = 8, dim: int = 64, tables: tuple[int, ...] = (0,)
+) -> Column:
+    """Array of bucket ids, one per LSH table, from ONE traversal of the
+    embedding.
 
-    Weights come from `plane_weights` (md5 parity, computed once on the
-    driver, embedded as array literals) so the DuckDB oracle assigns the
-    exact same buckets.  Each plane's projection is a sequential fold —
-    deterministic FP order.  `table` picks an independent plane set for
-    multi-table OR-amplification.
+    Bucket id = packed sign bits of n_planes ±1 random hyperplanes;
+    weights come from `plane_weights` (md5 parity, computed driver-side,
+    embedded as literals) so the DuckDB oracle assigns identical buckets.
+
+    All len(tables) x n_planes projections ride one vector accumulator:
+    zip the embedding with a per-index array of ALL plane weights, then
+    fold element-wise sums.  Per plane the additions happen in index
+    order starting from 0.0 — bit-identical to folding each plane
+    separately — but Spark's higher-order functions evaluate their
+    lambda per element, so one traversal amortizes that interpreter
+    overhead across every plane (measured ~2x on the 3-table query)
+    instead of paying it planes x tables times.
     """
-    weights = plane_weights(n_planes, dim, table)
-    bucket = F.lit(0)
-    for p in range(n_planes):
-        w = F.array(*[F.lit(v) for v in weights[p]])
-        proj = F.aggregate(
-            F.zip_with(vec, w, lambda x, wv: x.cast("double") * wv),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return bucket
+    n_proj = len(tables) * n_planes
+    by_plane = [plane_weights(n_planes, dim, t) for t in tables]
+    # dim x n_proj: for each vector index, every plane's weight
+    w_cols = F.array(
+        *[
+            F.array(
+                *[
+                    F.lit(by_plane[ti][p][i])
+                    for ti in range(len(tables))
+                    for p in range(n_planes)
+                ]
+            )
+            for i in range(dim)
+        ]
+    )
+    prods = F.zip_with(
+        vec, w_cols, lambda x, ws: F.transform(ws, lambda w: x.cast("double") * w)
+    )
+    sums = F.aggregate(
+        prods,
+        F.array(*[F.lit(0.0)] * n_proj),
+        lambda acc, pr: F.zip_with(acc, pr, lambda a, b: a + b),
+    )
+    return F.array(
+        *[
+            sum(
+                [
+                    F.when(sums[ti * n_planes + p] > 0, F.lit(1 << p)).otherwise(
+                        F.lit(0)
+                    )
+                    for p in range(n_planes)
+                ],
+                F.lit(0),
+            )
+            for ti in range(len(tables))
+        ]
+    )
+
+
+def lsh_bucket(vec: Column, n_planes: int = 8, dim: int = 64, table: int = 0) -> Column:
+    """Single-table bucket id (see `lsh_buckets_all`)."""
+    return lsh_buckets_all(vec, n_planes, dim, (table,))[0]
 
 
 def lsh_topk(
@@ -162,11 +203,8 @@ def lsh_topk_multitable(
         return df.select(
             F.col(id_col).alias(out_id),
             F.posexplode(
-                F.array(
-                    *[
-                        lsh_bucket(F.col(vec_col), n_planes, table=t)
-                        for t in range(n_tables)
-                    ]
+                lsh_buckets_all(
+                    F.col(vec_col), n_planes, tables=tuple(range(n_tables))
                 )
             ).alias("tbl", "bucket"),
         )
