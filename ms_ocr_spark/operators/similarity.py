@@ -78,67 +78,44 @@ def brute_force_topk(
     )
 
 
+def lsh_bucket(vec: Column, n_planes: int = 8, dim: int = 64, table: int = 0) -> Column:
+    """Bucket id = packed sign bits of n_planes ±1 random hyperplanes.
+
+    Weights come from `plane_weights` (md5 parity, computed once on the
+    driver, embedded as array literals) so the DuckDB oracle assigns the
+    exact same buckets.  Each plane's projection is a sequential fold —
+    deterministic FP order.  `table` picks an independent plane set for
+    multi-table OR-amplification.
+
+    Kept as per-plane scalar folds DELIBERATELY: a one-traversal variant
+    with an array accumulator (all tables x planes summed through one
+    zip_with/transform) produces bit-identical buckets and compiles
+    faster, but higher-order functions are CodegenFallback expressions
+    with no common-subexpression elimination — every reference to the
+    result array re-evaluates the whole fold, and the 3-table query
+    measured ~2.4x SLOWER end-to-end (13 s vs 5.5 s at sf0.1).  Scalar
+    folds are referenced exactly once each, so the work stays
+    planes x dim.
+    """
+    weights = plane_weights(n_planes, dim, table)
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        w = F.array(*[F.lit(v) for v in weights[p]])
+        proj = F.aggregate(
+            F.zip_with(vec, w, lambda x, wv: x.cast("double") * wv),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
 def lsh_buckets_all(
     vec: Column, n_planes: int = 8, dim: int = 64, tables: tuple[int, ...] = (0,)
 ) -> Column:
-    """Array of bucket ids, one per LSH table, from ONE traversal of the
-    embedding.
-
-    Bucket id = packed sign bits of n_planes ±1 random hyperplanes;
-    weights come from `plane_weights` (md5 parity, computed driver-side,
-    embedded as literals) so the DuckDB oracle assigns identical buckets.
-
-    All len(tables) x n_planes projections ride one vector accumulator:
-    zip the embedding with a per-index array of ALL plane weights, then
-    fold element-wise sums.  Per plane the additions happen in index
-    order starting from 0.0 — bit-identical to folding each plane
-    separately — but Spark's higher-order functions evaluate their
-    lambda per element, so one traversal amortizes that interpreter
-    overhead across every plane (measured ~2x on the 3-table query)
-    instead of paying it planes x tables times.
-    """
-    n_proj = len(tables) * n_planes
-    by_plane = [plane_weights(n_planes, dim, t) for t in tables]
-    # dim x n_proj: for each vector index, every plane's weight
-    w_cols = F.array(
-        *[
-            F.array(
-                *[
-                    F.lit(by_plane[ti][p][i])
-                    for ti in range(len(tables))
-                    for p in range(n_planes)
-                ]
-            )
-            for i in range(dim)
-        ]
-    )
-    prods = F.zip_with(
-        vec, w_cols, lambda x, ws: F.transform(ws, lambda w: x.cast("double") * w)
-    )
-    sums = F.aggregate(
-        prods,
-        F.array(*[F.lit(0.0)] * n_proj),
-        lambda acc, pr: F.zip_with(acc, pr, lambda a, b: a + b),
-    )
-    return F.array(
-        *[
-            sum(
-                [
-                    F.when(sums[ti * n_planes + p] > 0, F.lit(1 << p)).otherwise(
-                        F.lit(0)
-                    )
-                    for p in range(n_planes)
-                ],
-                F.lit(0),
-            )
-            for ti in range(len(tables))
-        ]
-    )
-
-
-def lsh_bucket(vec: Column, n_planes: int = 8, dim: int = 64, table: int = 0) -> Column:
-    """Single-table bucket id (see `lsh_buckets_all`)."""
-    return lsh_buckets_all(vec, n_planes, dim, (table,))[0]
+    """Array of per-table bucket ids (see `lsh_bucket` for why these are
+    independent scalar folds rather than one shared array traversal)."""
+    return F.array(*[lsh_bucket(vec, n_planes, dim, t) for t in tables])
 
 
 def lsh_topk(
