@@ -48,6 +48,33 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_pandas(dim: int = 64):
+    """Arrow-batched pandas cosine — bit-identical to `cosine`'s folds.
+
+    dot and the two squared norms accumulate dimension-by-dimension
+    across the batch (same IEEE-double op order per row as the
+    sequential folds), then one vectorized sqrt/divide.  Used on the
+    brute-force path where the cross join evaluates O(Q*N) cosines and
+    the per-element HOF interpreter cost dominates; bucket-join paths
+    score few candidates and keep the column-expression form.
+    """
+
+    @F.pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.array(a.tolist(), dtype=np.float64)
+        B = np.array(b.tolist(), dtype=np.float64)
+        dot_ = np.zeros(len(A))
+        na = np.zeros(len(A))
+        nb = np.zeros(len(A))
+        for i in range(dim):
+            dot_ += A[:, i] * B[:, i]
+            na += A[:, i] * A[:, i]
+            nb += B[:, i] * B[:, i]
+        return pd.Series(dot_ / (np.sqrt(na) * np.sqrt(nb)))
+
+    return _cos
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -70,7 +97,9 @@ def brute_force_topk(
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+        .withColumn(
+            "sim", F.round(cosine_pandas()(F.col("q_vec"), F.col("c_vec")), 6)
+        )
     )
     return top_k_per_group(
         scored.select("query_id", "neighbor_id", "sim"),
