@@ -204,3 +204,53 @@ def test_component_labels_long_path_converges_fast(spark):
     labels = component_labels(edges, max_iter=10, driver_collect_threshold=0)
     assert labels.filter(F.col("component") != "n000").count() == 0
     assert labels.count() == n
+
+
+def test_vectorized_lsh_and_cosine_bit_identical(spark):
+    """The Arrow-batched bucket/cosine UDFs must equal the sequential-fold
+    column expressions BIT-FOR-BIT (same IEEE op order) — including
+    near-zero projections where any reassociation would flip a sign."""
+    import numpy as np
+
+    from ms_ocr_spark.operators.similarity import (
+        cosine,
+        cosine_pandas,
+        lsh_bucket,
+        lsh_buckets_pandas,
+    )
+
+    rng = np.random.default_rng(99)
+    vecs = [[float(v) for v in rng.normal(0, 1, 64).astype(np.float32)] for _ in range(200)]
+    # adversarial rows: tiny magnitudes push projections toward 0 where
+    # summation-order differences would change the sign bit
+    vecs += [[v * 1e-7 for v in row] for row in vecs[:50]]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    fold = df.select(
+        "vec_id",
+        F.array(
+            *[lsh_bucket(F.col("embedding"), table=t).cast("int") for t in range(3)]
+        ).alias("b"),
+    )
+    pdu = df.select(
+        "vec_id", lsh_buckets_pandas(tables=(0, 1, 2))(F.col("embedding")).alias("b")
+    )
+    assert (
+        fold.alias("f").join(pdu.alias("p"), "vec_id")
+        .filter(F.col("f.b") != F.col("p.b")).count() == 0
+    )
+
+    pairs = df.alias("a").join(
+        df.alias("b"), F.col("a.vec_id") + 1 == F.col("b.vec_id")
+    ).select(
+        F.col("a.vec_id").alias("i"),
+        F.col("a.embedding").alias("x"),
+        F.col("b.embedding").alias("y"),
+    )
+    jvm = pairs.withColumn("s", cosine(F.col("x"), F.col("y")))
+    pd_ = pairs.withColumn("s", cosine_pandas()(F.col("x"), F.col("y")))
+    assert (
+        jvm.select("i", "s").alias("j").join(pd_.select("i", "s").alias("q"), "i")
+        .filter(F.col("j.s") != F.col("q.s")).count() == 0
+    )
