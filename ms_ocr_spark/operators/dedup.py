@@ -299,15 +299,11 @@ def component_labels(
     return identical (id, component) labels.
     """
     und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    # checkpoint the symmetrized edge list BEFORE iterating: edges often
-    # arrive at the end of an expensive pipeline (LSH + Jaccard verify),
-    # and every round references sym — without truncation each round
-    # would recompute that whole upstream subtree
-    sym = und.union(
-        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint()
+    sym = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
     # ONE action decides the path and fetches the data: limit(K+1) stops
-    # the scan early on large graphs, so the size probe costs nothing extra
+    # the scan early on large graphs, so the size probe costs nothing
+    # extra, and the common (small-graph) path materializes the upstream
+    # pipeline exactly once — no checkpoint write needed before collect
     head = sym.limit(driver_collect_threshold + 1).collect()
     if len(head) <= driver_collect_threshold:
         pairs = [(r["a"], r["b"]) for r in head]
@@ -334,6 +330,11 @@ def component_labels(
                 [T.StructField("id", id_type), T.StructField("component", id_type)]
             ),
         )
+    # distributed path: checkpoint the edge list BEFORE iterating — it
+    # often arrives at the end of an expensive pipeline (LSH + Jaccard
+    # verify), and every propagation round references sym; without
+    # truncation each round would recompute that whole upstream subtree
+    sym = sym.localCheckpoint()
     labels = (
         sym.select(F.col("a").alias("id")).distinct()
         .withColumn("component", F.col("id"))
