@@ -289,3 +289,25 @@ def test_stream_windowed_counts_drop_late_events(spark, tmp_path):
         if str(r["win_start"]) == "2024-01-01 12:00:00"
     ]
     assert rows2 == [2]
+
+
+def test_checkpoint_job_routes_language_column(spark, tmp_path):
+    """The checkpointed job path (run_with_checkpoints -> pending_extraction
+    -> extract_documents) must carry the doc-level language column through
+    bucketing — routed ja_vert squares only decode via that column."""
+    from ms_ocr_spark.plans.checkpoint import run_with_checkpoints
+    from ms_ocr_spark.sources.datagen import write_corpus
+
+    paths = write_corpus(str(tmp_path / "rj"), n_docs=20, seed=29, routed_pct=0.6)
+    docs = spark.read.parquet(paths["documents"])
+    media = spark.read.parquet(paths["media_store"])
+    golden = spark.read.parquet(paths["golden_spans"])
+    out = str(tmp_path / "rj_out")
+    committed = run_with_checkpoints(
+        spark, docs, media, out, job_id="rj", n_buckets=4
+    )
+    assert len(committed) == 4
+    result = spark.read.parquet(out + "/data")
+    r = result.select("doc_id", F.to_json("spans").alias("js"))
+    g = golden.select("doc_id", F.to_json("spans").alias("js"))
+    assert g.join(r, ["doc_id", "js"]).count() == golden.count()
