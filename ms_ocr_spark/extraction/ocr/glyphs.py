@@ -98,9 +98,55 @@ _FONT: dict[str, tuple[str, ...]] = {
     ":": (".....", ".....", ".XX..", ".XX..", ".....", ".XX..", ".XX.."),
     ";": (".....", ".....", "..XX.", "..XX.", ".....", "..XX.", ".XX.."),
 }
+
+# Katakana glyph set (round 4 — reference jpn/jpn_vert recognition modes,
+# `/root/reference/src/library/engine_tesseract/main.py:32-70`, CH/CN CRNN
+# charsets `engine_realtime/charset_crnn.py:40,137`).  A separate CHARSET:
+# the decoder's template stack is charset-gated by the routed language
+# (`ja`/`ja_vert` -> kana, everything else -> Latin), mirroring how the
+# reference loads a different model per language — so kana glyphs never
+# compete with Latin ones and the Latin tiers stay byte-identical.
+#
+# Design constraints (asserted by tests/test_kana_glyphs.py):
+#   * every glyph is ONE 8-connected component (the CC segmenter must not
+#     split it in either horizontal or vertical layout)
+#   * full-height (ink in rows 0 and 6) -> always the "tall" size class
+#   * pairwise template distance within the set >= the decode margin
+_KANA_FONT: dict[str, tuple[str, ...]] = {
+    "ア": ("XXXXX", "...X.", "...X.", "..XX.", "..X..", ".X...", "X...."),
+    "イ": ("....X", "...X.", "..X..", ".XX..", "..X..", "..X..", "..X.."),
+    "ウ": ("..X..", "XXXXX", "X...X", "....X", "...X.", "..X..", ".X..."),
+    "エ": ("XXXXX", "..X..", "..X..", "..X..", "..X..", "..X..", "XXXXX"),
+    "オ": ("...X.", "XXXXX", "...X.", "..XX.", ".X.X.", "X..X.", "...X."),
+    "カ": ("..X..", "..X..", "XXXXX", ".X..X", ".X..X", ".X.X.", "X..X."),
+    "キ": ("..X..", ".XXXX", "..X..", "XXXXX", "..X..", "..X..", "..X.."),
+    "ク": ("..XX.", ".X..X", "X...X", "....X", "...X.", "..X..", ".X..."),
+    "コ": ("XXXXX", "....X", "....X", "....X", "....X", "....X", "XXXXX"),
+    "サ": (".X.X.", "XXXXX", ".X.X.", ".X.X.", "...X.", "..X..", ".X..."),
+    "ス": ("XXXXX", "....X", "...X.", "..X..", ".X.X.", "X...X", "X...X"),
+    "セ": ("..X..", "..X.X", "XXXXX", "..X..", "..X..", "..X..", "..XXX"),
+    "チ": ("...XX", ".XX..", "..X..", "XXXXX", "..X..", "..X..", ".X..."),
+    "ト": ("X....", "X....", "XX...", "X.X..", "X..X.", "X....", "X...."),
+    "ナ": ("..X..", "..X..", "XXXXX", "..X..", "..X..", ".X...", "X...."),
+    "ホ": ("..X..", "XXXXX", "..X..", ".XXX.", "X.X.X", "..X..", "..X.."),
+    "マ": ("XXXXX", "....X", "...X.", "..X..", ".X...", "..X..", "...X."),
+    "ム": ("..X..", "..X..", ".X...", ".X...", "X...X", "X..XX", "XXXX."),
+    "メ": ("....X", "...X.", "X..X.", ".XX..", "..X..", ".X.X.", "X...X"),
+    "モ": ("XXXX.", "..X..", "XXXXX", "..X..", "..X..", "..X.X", "...XX"),
+    "ヤ": (".X...", ".X..X", "XXXXX", "...X.", "..X..", "..X..", "..X.."),
+    "ユ": ("XXXX.", "...X.", "...X.", "..X..", "..X..", ".X...", "XXXXX"),
+    "ヨ": ("XXXXX", "....X", "....X", "XXXXX", "....X", "....X", "XXXXX"),
+    "ラ": ("XXXX.", "...X.", "XXXXX", "....X", "...X.", "..X..", ".X..."),
+    "レ": ("X....", "X....", "X...X", "X..X.", "X.X..", "XX...", "X...."),
+    "ロ": ("XXXXX", "X...X", "X...X", "X...X", "X...X", "X...X", "XXXXX"),
+    "ワ": ("XXXXX", "X...X", "X...X", "....X", "...X.", "..X..", ".X..."),
+}
 # fmt: on
 
-ALPHABET = "".join(sorted(_FONT))
+_FONT.update(_KANA_FONT)
+
+ALPHABET = "".join(sorted(set(_FONT) - set(_KANA_FONT)))
+KANA_ALPHABET = "".join(sorted(_KANA_FONT))
 GLYPH_W, GLYPH_H = 5, 7
 ADVANCE = 7  # font px from glyph start to next glyph start (2 px inter-glyph gap)
 SPACE_EXTRA = 4  # extra font px of gap marking a word space

@@ -30,6 +30,7 @@ from .glyphs import (
     BG,
     GLYPH_H,
     GLYPH_W,
+    KANA_ALPHABET,
     SCALE,
     SPACE_EXTRA,
     glyph_bitmap,
@@ -404,7 +405,9 @@ def _resize_mask_nn(mask: np.ndarray, h: int, w: int) -> np.ndarray:
 _POPCNT = np.array([bin(i).count("1") for i in range(256)], dtype=np.int32)
 
 
-def _build_template_stack() -> tuple[np.ndarray, list[str], np.ndarray, np.ndarray]:
+def _build_template_stack(
+    alphabet: str = ALPHABET,
+) -> tuple[np.ndarray, list[str], np.ndarray, np.ndarray]:
     """Stack of glyph templates at residual-skew variants (-2..+2 deg).
 
     Deskew on short single-line text can be off by ~1 deg (the projection
@@ -422,7 +425,7 @@ def _build_template_stack() -> tuple[np.ndarray, list[str], np.ndarray, np.ndarr
     """
     th, tw = GLYPH_H * SCALE, GLYPH_W * SCALE
     stack, chars, tall, aspect = [], [], [], []
-    for ch in ALPHABET:
+    for ch in alphabet:
         bm_rows = np.nonzero(glyph_bitmap(ch).any(axis=1))[0]
         is_tall = (bm_rows.max() - bm_rows.min() + 1) >= 6
         tpl_img = glyph_template(ch)
@@ -451,6 +454,29 @@ _TPL_LOG_ASPECT = np.log(_TPL_ASPECT)
 _ASPECT_GATE = np.log(1.6)  # crop/template aspect must agree within 1.6x
 
 
+class _Charset:
+    """Template stack + derived decode tables for one glyph inventory.
+
+    The decoder is CHARSET-GATED by the routed language (ja/ja_vert ->
+    kana, everything else -> Latin) the way the reference loads a model
+    per language (`engine_tesseract/main.py:32-70` jpn/jpn_vert,
+    `engine_realtime/charset_crnn.py:40,137` CH/CN charsets): glyphs of
+    one set never compete with the other's, so adding kana cannot perturb
+    Latin-tier decodes.
+    """
+
+    def __init__(self, stack, chars, tall, aspect):
+        self.stack, self.chars, self.tall, self.aspect = stack, chars, tall, aspect
+        self.packed = np.packbits(stack.reshape(len(stack), -1), axis=1)
+        self.log_aspect = np.log(aspect)
+
+
+_CHARSETS = {
+    "latin": _Charset(_TPL_STACK, _TPL_CHARS, _TPL_TALL, _TPL_ASPECT),
+    "kana": _Charset(*_build_template_stack(KANA_ALPHABET)),
+}
+
+
 # Memo for _decode_glyph: identical crops repeat heavily within a batch
 # (fixed glyph set, bounded jitter) — ~50% hit rate on the bench corpus.
 # Pure-function memoization; bounded so long-lived executors can't grow it
@@ -459,7 +485,9 @@ _GLYPH_CACHE: dict[tuple, tuple[str, int]] = {}
 _GLYPH_CACHE_MAX = 200_000
 
 
-def _decode_glyph(crop: np.ndarray, cls: str | None = None) -> tuple[str, int]:
+def _decode_glyph(
+    crop: np.ndarray, cls: str | None = None, charset: str = "latin"
+) -> tuple[str, int]:
     """Greedy nearest-template decode (reference's argmax-per-step analog,
     `recognizer_crnn.py:42-59`); returns (char, match distance).
 
@@ -475,22 +503,23 @@ def _decode_glyph(crop: np.ndarray, cls: str | None = None) -> tuple[str, int]:
     Both gates fall back to wider sets rather than failing, so an
     out-of-model crop still decodes to its nearest glyph.
     """
-    key = (crop.shape, cls, crop.tobytes())
+    key = (crop.shape, cls, charset, crop.tobytes())
     cached = _GLYPH_CACHE.get(key)
     if cached is not None:
         return cached
-    cand = np.ones(len(_TPL_CHARS), dtype=bool)
+    cs = _CHARSETS[charset]
+    cand = np.ones(len(cs.chars), dtype=bool)
     if cls is not None:
-        cand = _TPL_TALL if cls == "tall" else ~_TPL_TALL
+        cand = cs.tall if cls == "tall" else ~cs.tall
     aspect_ok = (
-        np.abs(np.log(crop.shape[0] / crop.shape[1]) - _TPL_LOG_ASPECT)
+        np.abs(np.log(crop.shape[0] / crop.shape[1]) - cs.log_aspect)
         <= _ASPECT_GATE
     )
     gated = cand & aspect_ok
     if not gated.any():
-        gated = cand if cand.any() else np.ones(len(_TPL_CHARS), dtype=bool)
+        gated = cand if cand.any() else np.ones(len(cs.chars), dtype=bool)
     idx = np.nonzero(gated)[0]
-    packed_tpl = _TPL_PACKED[idx]
+    packed_tpl = cs.packed[idx]
     th, tw = GLYPH_H * SCALE, GLYPH_W * SCALE
     variants = [crop]
     if crop.shape[0] > 2:
@@ -504,7 +533,7 @@ def _decode_glyph(crop: np.ndarray, cls: str | None = None) -> tuple[str, int]:
         dists = _POPCNT[np.bitwise_xor(packed[None, :], packed_tpl)].sum(axis=1)
         i = int(np.argmin(dists))
         if int(dists[i]) < best_d:
-            best_d, best_ch = int(dists[i]), _TPL_CHARS[idx[i]]
+            best_d, best_ch = int(dists[i]), cs.chars[idx[i]]
         if best_d <= 20:
             # unambiguous: in-class glyph pairs differ by >= ~27 device px
             # (asserted by test_glyph_margin), so a <= 20 match can't be
@@ -517,7 +546,7 @@ def _decode_glyph(crop: np.ndarray, cls: str | None = None) -> tuple[str, int]:
 
 
 def _layout_from_mask(
-    mask: np.ndarray, mode: str | None = None
+    mask: np.ndarray, mode: str | None = None, charset: str = "latin"
 ) -> tuple[list[list[tuple[tuple[int, int, int, int], str]]], int, int]:
     """Segment + decode one binary mask; returns (layout, total template
     distance, glyph count) — the distance is the decode-quality signal
@@ -548,7 +577,7 @@ def _layout_from_mask(
             glyph_boxes = _merge_y_overlaps(column)
             chars = []
             for x1, y1, x2, y2 in glyph_boxes:
-                ch, d = _decode_glyph(mask[y1:y2, x1:x2], "tall")
+                ch, d = _decode_glyph(mask[y1:y2, x1:x2], "tall", charset)
                 chars.append(ch)
                 total_d += d
                 n_glyphs += 1
@@ -581,14 +610,14 @@ def _layout_from_mask(
                 words.append((tuple(wbox), "".join(chars)))
                 chars, wbox = [], None
             cls = "short" if (y2 - y1) < 0.8 * ref_h else "tall"
-            ch, d = _decode_glyph(mask[y1:y2, x1:x2], cls)
+            ch, d = _decode_glyph(mask[y1:y2, x1:x2], cls, charset)
             if d > _CLASS_RETRY_DIST:
                 # height sat on the class boundary (residual rotation
                 # compresses the line's tall anchor): a misclassed glyph
                 # scores garbage in its class, its true class scores well
                 # — retry the opposite class, keep the better match
                 ch2, d2 = _decode_glyph(
-                    mask[y1:y2, x1:x2], "tall" if cls == "short" else "short"
+                    mask[y1:y2, x1:x2], "tall" if cls == "short" else "short", charset
                 )
                 if d2 < d:
                     ch, d = ch2, d2
@@ -621,7 +650,7 @@ _SHEAR_ACCEPT_MEAN_DIST = 25.0
 
 
 def decode_layout(
-    img: np.ndarray, mode: str | None = None
+    img: np.ndarray, mode: str | None = None, charset: str = "latin"
 ) -> list[list[tuple[tuple[int, int, int, int], str]]]:
     """Full kernel returning layout: lines of (word bbox, word text).
 
@@ -645,7 +674,7 @@ def decode_layout(
         # antialiasing keeps strokes intact through the round trip; the
         # higher threshold (160 vs 128) compensates double-blur stroke fade
         mask = binarize(rotate_bilinear(den, corr), 160)
-    layout, total_d, n = _layout_from_mask(mask, mode)
+    layout, total_d, n = _layout_from_mask(mask, mode, charset)
     if n == 0 or total_d / n <= _SHEAR_RETRY_MEAN_DIST:
         return layout
     best_layout, best_mean = layout, total_d / n
@@ -653,7 +682,9 @@ def decode_layout(
         if lam == 0.0:
             continue
         m = np.array([[1.0, lam], [0.0, 1.0]]) @ affine_matrix(corr, 0.0)
-        lay2, d2, n2 = _layout_from_mask(binarize(warp_bilinear(den, m), 160), mode)
+        lay2, d2, n2 = _layout_from_mask(
+            binarize(warp_bilinear(den, m), 160), mode, charset
+        )
         if n2 and d2 / n2 < best_mean:
             best_layout, best_mean = lay2, d2 / n2
             if best_mean <= _SHEAR_ACCEPT_MEAN_DIST:
@@ -670,20 +701,28 @@ def decode_words(img: np.ndarray) -> list[tuple[int, int, int, int, str]]:
     ]
 
 
-# language -> forced kernel mode (reference request field `-|ja|ja_vert|en`,
-# `src/controller/Ocr.ts:37-39`); unknown/None -> auto-detect
-LANGUAGE_MODES = {"ja_vert": "vertical", "en": "horizontal", "ja": None, "-": None}
+# language -> forced kernel (mode, charset) (reference request field
+# `-|ja|ja_vert|en`, `src/controller/Ocr.ts:37-39`; jpn/jpn_vert select a
+# different Tesseract model + psm at `engine_tesseract/main.py:32-70`).
+# Unknown/None -> auto-detect orientation with the Latin charset.
+LANGUAGE_MODES = {
+    "ja_vert": ("vertical", "kana"),
+    "ja": ("horizontal", "kana"),
+    "en": ("horizontal", "latin"),
+    "-": (None, "latin"),
+}
 
 
 def decode_image(img: np.ndarray, language: str | None = None) -> str:
     """Full kernel: grayscale image -> recovered text (lines joined by \\n).
 
-    `language` routes the layout mode per the reference's request field
-    (`ja_vert` forces vertical/psm-5 reading; `en` forces horizontal;
-    `-`/`ja`/None auto-detect)."""
-    mode = LANGUAGE_MODES.get(language) if language else None
+    `language` routes the layout mode AND the charset per the reference's
+    request field (`ja_vert` forces vertical/psm-5 reading with the kana
+    charset; `ja` horizontal kana; `en` forces horizontal Latin;
+    `-`/None auto-detect orientation, Latin)."""
+    mode, charset = LANGUAGE_MODES.get(language, (None, "latin")) if language else (None, "latin")
     return "\n".join(
-        " ".join(t for _, t in line) for line in decode_layout(img, mode)
+        " ".join(t for _, t in line) for line in decode_layout(img, mode, charset)
     )
 
 

@@ -126,6 +126,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     rows_per_band: int = 4,
     num_hashes: int = 16,
+    strict: bool = False,
 ) -> DataFrame:
     """Band the signature, bucket-join: pairs sharing any full band.
 
@@ -151,9 +152,27 @@ def lsh_candidate_pairs(
                 lambda s: s["minhash"],
             ).alias("sig")
         )
-    # guard: drop (loudly countable) any signature whose length disagrees
-    # with num_hashes — cheap filter, prevents the silent cross-join class
-    signatures = signatures.filter(F.size("sig") == num_hashes)
+    # guard: drop any signature whose length disagrees with num_hashes —
+    # cheap filter, prevents the silent cross-join class.  The drop count
+    # is LOUD, not silent: a named observation ("lsh_signature_guard" /
+    # dropped_signatures) rides the plan at zero cost and surfaces through
+    # any QueryExecutionListener, and strict=True pays one extra count()
+    # action to refuse malformed inputs outright — a doc dropped here
+    # exits candidate generation entirely and would survive as a keeper.
+    if strict:
+        n_bad = signatures.filter(F.size("sig") != num_hashes).count()
+        if n_bad:
+            raise ValueError(
+                f"lsh_candidate_pairs: {n_bad} signature(s) have length != "
+                f"num_hashes={num_hashes}; these docs would silently exit "
+                "dedup. Fix the signature stage or pass strict=False."
+            )
+    signatures = signatures.observe(
+        "lsh_signature_guard",
+        F.sum(
+            F.when(F.size("sig") != num_hashes, F.lit(1)).otherwise(F.lit(0))
+        ).alias("dropped_signatures"),
+    ).filter(F.size("sig") == num_hashes)
     n_bands = num_hashes // rows_per_band
     band_structs = [
         F.struct(
@@ -300,11 +319,32 @@ def component_labels(
     """
     und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    # ONE action decides the path and fetches the data: limit(K+1) stops
-    # the scan early on large graphs, so the size probe costs nothing
-    # extra, and the common (small-graph) path materializes the upstream
-    # pipeline exactly once — no checkpoint write needed before collect
-    head = sym.limit(driver_collect_threshold + 1).collect()
+    # persist BEFORE the size probe: the probe's limit(K+1).collect() and
+    # (on the large path) the pre-loop localCheckpoint both reference sym,
+    # and sym usually sits on top of an expensive pipeline (LSH + Jaccard
+    # verify).  With the cache, whatever partitions the probe computes are
+    # reused by the checkpoint, so the upstream subtree materializes at
+    # most once on BOTH paths; the small path drops the cache on return.
+    sym = sym.persist()
+    try:
+        # ONE action decides the path and fetches the data: limit(K+1)
+        # stops the scan early on large graphs, so the probe costs nothing
+        # extra beyond the partitions it touches.
+        head = sym.limit(driver_collect_threshold + 1).collect()
+        return _component_labels_inner(
+            edges, sym, head, driver_collect_threshold, max_iter
+        )
+    finally:
+        sym.unpersist()
+
+
+def _component_labels_inner(
+    edges: DataFrame,
+    sym: DataFrame,
+    head: list,
+    driver_collect_threshold: int,
+    max_iter: int,
+) -> DataFrame:
     if len(head) <= driver_collect_threshold:
         pairs = [(r["a"], r["b"]) for r in head]
         parent: dict = {}
@@ -330,11 +370,14 @@ def component_labels(
                 [T.StructField("id", id_type), T.StructField("component", id_type)]
             ),
         )
-    # distributed path: checkpoint the edge list BEFORE iterating — it
-    # often arrives at the end of an expensive pipeline (LSH + Jaccard
-    # verify), and every propagation round references sym; without
-    # truncation each round would recompute that whole upstream subtree
+    # distributed path: checkpoint the edge list BEFORE iterating — every
+    # propagation round references sym, and localCheckpoint truncates the
+    # lineage so rounds never re-run the upstream.  The probe's cache is
+    # released as soon as the checkpoint has materialized (the outer
+    # finally's unpersist is then a no-op).
+    cached = sym
     sym = sym.localCheckpoint()
+    cached.unpersist()
     labels = (
         sym.select(F.col("a").alias("id")).distinct()
         .withColumn("component", F.col("id"))

@@ -101,15 +101,25 @@ def image_metadata(media: DataFrame, payload_col: str = "payload") -> DataFrame:
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ms_ocr_spark.extraction.ocr.jpeg import decode_gray_jpeg, jfif_density
         from ms_ocr_spark.extraction.ocr.png import decode_gray, side_values
+        from ms_ocr_spark.extraction.ocr.tiff import decode_gray_tiff, tiff_dpi
 
         for pdf in batches:
             rows = []
             for ref, buf in zip(pdf["media_ref"], pdf[payload_col]):
                 fmt = sniff_format(bytes(buf) if buf is not None else None)
-                if fmt in ("png", "jpeg"):
+                if fmt in ("png", "jpeg", "tiff"):
                     if fmt == "png":
                         img = decode_gray(bytes(buf))
                         sv = side_values(bytes(buf))
+                    elif fmt == "tiff":
+                        img = decode_gray_tiff(bytes(buf))
+                        # TIFF side-values: XResolution dpi only (mirrors
+                        # the datagen golden's meta_rows for tiff tiers)
+                        sv = {
+                            "dpi": tiff_dpi(bytes(buf)),
+                            "icc_name": None,
+                            "orientation": None,
+                        }
                     else:
                         img = decode_gray_jpeg(bytes(buf))
                         # JPEG side-values: JFIF density only (no

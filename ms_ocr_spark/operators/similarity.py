@@ -61,8 +61,15 @@ def cosine_pandas(dim: int = 64):
 
     @F.pandas_udf("double")
     def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
-        A = np.array(a.tolist(), dtype=np.float64)
-        B = np.array(b.tolist(), dtype=np.float64)
+        # NULL vectors on either side yield NULL sim (matches the column
+        # expression's propagation); compute only on the valid rows so a
+        # ragged object array never reaches numpy.
+        valid = a.notna() & b.notna()
+        out = pd.Series([None] * len(a), index=a.index, dtype=object)
+        if not bool(valid.any()):
+            return out
+        A = np.array(a[valid].tolist(), dtype=np.float64).reshape(-1, dim)
+        B = np.array(b[valid].tolist(), dtype=np.float64).reshape(-1, dim)
         dot_ = np.zeros(len(A))
         na = np.zeros(len(A))
         nb = np.zeros(len(A))
@@ -70,7 +77,8 @@ def cosine_pandas(dim: int = 64):
             dot_ += A[:, i] * B[:, i]
             na += A[:, i] * A[:, i]
             nb += B[:, i] * B[:, i]
-        return pd.Series(dot_ / (np.sqrt(na) * np.sqrt(nb)))
+        out.loc[valid] = (dot_ / (np.sqrt(na) * np.sqrt(nb))).tolist()
+        return out
 
     return _cos
 
@@ -182,7 +190,11 @@ def lsh_buckets_pandas(
     @F.pandas_udf("array<int>")
     def _buckets(emb: pd.Series) -> pd.Series:
         valid = emb.notna()
-        X = np.array(emb[valid].tolist(), dtype=np.float64)
+        if not bool(valid.any()):
+            # an all-NULL Arrow batch: tolist() would yield a 1-D empty
+            # array and X[:, i:i+1] would raise — short-circuit to NULLs
+            return pd.Series([None] * len(emb), index=emb.index, dtype=object)
+        X = np.array(emb[valid].tolist(), dtype=np.float64).reshape(-1, dim)
         acc = np.zeros((len(X), n_proj), dtype=np.float64)
         for i in range(dim):
             # same op sequence per (row, plane) as the sequential fold

@@ -1349,6 +1349,48 @@ def _extract_spans_routed_oracle() -> str:
     return _golden_spans_oracle(_corpus_paths_routed()["golden_spans"])
 
 
+def _corpus_paths_kana(n_docs: int = 40) -> dict[str, str]:
+    """All-Japanese corpus (reference jpn/jpn_vert recognition modes,
+    `engine_tesseract/main.py:32-70`): every doc routes `ja` (horizontal
+    katakana lines) or `ja_vert` (katakana square grids readable only via
+    the routing column); media truth text is entirely non-Latin, so the
+    routing column selects the KANA charset, not just the layout mode."""
+    import os
+
+    from ms_ocr_spark.sources.datagen import write_corpus
+
+    cache = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), ".cache", f"corpus_kana_{n_docs}"
+    )
+    return write_corpus(cache, n_docs=n_docs, seed=49, routed_pct=1.0)
+
+
+def extract_spans_ja(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Japanese extraction tier: per-document `ja`/`ja_vert` routing picks
+    the katakana charset + layout mode inside the same Arrow UDF; truth
+    text is non-Latin (katakana), horizontal AND vertical."""
+    from ms_ocr_spark.extraction.pipeline import extract_documents
+
+    paths = _corpus_paths_kana()
+    docs = spark.read.parquet(paths["documents"])
+    media = spark.read.parquet(paths["media_store"])
+    out = extract_documents(docs, media)
+    return out.select("doc_id", F.posexplode("spans").alias("pos", "span")).select(
+        "doc_id",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
+_REGISTRY.append(("extract_spans_ja", extract_spans_ja, None))
+
+
+def _extract_spans_ja_oracle() -> str:
+    return _golden_spans_oracle(_corpus_paths_kana()["golden_spans"])
+
+
 def media_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata extraction over binary payloads.  Oracle = the
     generator's golden_media_meta parquet (computed from the raw pixels
@@ -1501,6 +1543,7 @@ _LAZY_ORACLES: dict[str, Callable[[], str]] = {
     "extract_spans_tiff": _extract_spans_tiff_oracle,
     "extract_spans_mixedcase": _extract_spans_mixedcase_oracle,
     "extract_spans_routed": _extract_spans_routed_oracle,
+    "extract_spans_ja": _extract_spans_ja_oracle,
     "media_image_metadata": _media_meta_oracle,
     "dedup_boxes_keep_first": _keepfirst_golden_oracle,
     "table_cells_from_media": _table_cells_oracle,

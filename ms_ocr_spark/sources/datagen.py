@@ -141,22 +141,50 @@ def make_media_truth(seed: int, doc_i: int, off: int) -> str:
 
 
 def make_vertical_square_truth(seed: int, doc_i: int, off: int) -> str:
-    """k x k glyph square (k=2..3), one column per truth line, rightmost
+    """k x k KATAKANA square (k=2..3), one column per truth line, rightmost
     column first.  A SQUARE grid ties the kernel's row/column band counts,
     so orientation auto-detect reads it horizontally (wrong) — decoding it
     correctly requires the per-document `language='ja_vert'` routing
     (reference `src/controller/Ocr.ts:37-39`, psm 5 vertical at
-    `engine_tesseract/main.py:32-70`)."""
+    `engine_tesseract/main.py:32-70`).  Round 4: the glyphs are katakana
+    (kana charset), so the routing column also selects the CHARSET the way
+    the reference's jpn_vert mode loads a different model."""
+    from ms_ocr_spark.extraction.ocr.glyphs import KANA_ALPHABET
+
     h = _h(seed, "sqmedia", doc_i, off)
     k = 2 + h % 2
-    pool = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
     return "\n".join(
         "".join(
-            pool[_h(seed, "sqch", doc_i, off, ci, ri) % len(pool)]
+            KANA_ALPHABET[_h(seed, "sqch", doc_i, off, ci, ri) % len(KANA_ALPHABET)]
             for ri in range(k)
         )
         for ci in range(k)
     )
+
+
+def make_kana_truth(seed: int, doc_i: int, off: int) -> str:
+    """Horizontal katakana text (1-2 lines of 1-3 words, 2-4 glyphs each)
+    for `language='ja'` docs (reference jpn mode, horizontal psm)."""
+    from ms_ocr_spark.extraction.ocr.glyphs import KANA_ALPHABET
+
+    h = _h(seed, "jamedia", doc_i, off)
+    n_lines = 1 + (h >> 8) % 2
+    lines = []
+    for li in range(n_lines):
+        hw = _h(seed, "jaline", doc_i, off, li)
+        words = []
+        for wi in range(1 + hw % 3):
+            hc = _h(seed, "jaword", doc_i, off, li, wi)
+            words.append(
+                "".join(
+                    KANA_ALPHABET[
+                        _h(seed, "jach", doc_i, off, li, wi, ci) % len(KANA_ALPHABET)
+                    ]
+                    for ci in range(2 + hc % 3)
+                )
+            )
+        lines.append(" ".join(words))
+    return "\n".join(lines)
 
 
 def make_mixed_truth(seed: int, doc_i: int, off: int) -> str:
@@ -321,11 +349,15 @@ def _gen_chunk(args: tuple) -> tuple[list, list, list]:
         language = None
         if routed_pct > 0:
             # per-document language routing (reference Ocr.ts:37-39):
-            # ja_vert docs render media as square glyph grids that ONLY
-            # decode correctly via the routing column (auto-detect ties)
+            # routed docs split ja (horizontal katakana) / ja_vert
+            # (katakana square grids that ONLY decode correctly via the
+            # routing column — orientation auto-detect ties on squares,
+            # and both need the kana charset the routing selects)
             hl = _h(seed, "doclang", i)
             language = (
-                "ja_vert" if hl % 1000 < routed_pct * 1000 else ("-", "en")[hl % 2]
+                ("ja_vert", "ja")[(hl >> 10) % 2]
+                if hl % 1000 < routed_pct * 1000
+                else ("-", "en")[hl % 2]
             )
         in_spans, out_spans = [], []
         for s in _spans_for_doc(seed, i, mult):
@@ -341,7 +373,11 @@ def _gen_chunk(args: tuple) -> tuple[list, list, list]:
             else:
                 ref = f"img-{doc_id}-{off}"
                 is_vert = (
-                    vertical_pct > 0
+                    language != "en"  # 'en' routes the kernel to forced
+                    # horizontal decode (LANGUAGE_MODES), so a vertical
+                    # render could never match its golden — the tier is
+                    # suppressed for forced-horizontal docs
+                    and vertical_pct > 0
                     and _h(seed, "isvert", i, off) % 1000 < vertical_pct * 1000
                 )
                 is_shear = (
@@ -358,6 +394,9 @@ def _gen_chunk(args: tuple) -> tuple[list, list, list]:
                 if language == "ja_vert":
                     truth = make_vertical_square_truth(seed, i, off)
                     img = render_vertical_image(seed, ref, truth)
+                elif language == "ja":
+                    truth = make_kana_truth(seed, i, off)
+                    img = render_media_image(seed, ref, truth)
                 elif is_vert:
                     truth = make_vertical_truth(seed, i, off)
                     img = render_vertical_image(seed, ref, truth)
@@ -523,8 +562,9 @@ def write_corpus(out_dir: str, n_docs: int, seed: int = 42, **kw) -> dict[str, s
     }
     # fmt bumps when generation output changes for identical params
     # (e.g. new ancillary PNG chunks) — stale caches regenerate
+    # fmt 3: routed tiers render katakana (ja/ja_vert charsets)
     params = {
-        "fmt": 2,
+        "fmt": 3,
         "n_docs": n_docs,
         "seed": seed,
         **{k: kw[k] for k in sorted(kw) if k != "processes"},

@@ -1,0 +1,114 @@
+"""Katakana charset tests (round 4 — reference jpn/jpn_vert modes,
+`/root/reference/src/library/engine_tesseract/main.py:32-70`; charsets
+`engine_realtime/charset_crnn.py:40,137`).
+
+The kana glyph inventory is a SEPARATE decode charset selected by the
+routed language (`ja`/`ja_vert`), so these tests pin (a) the structural
+properties the segmenter/decoder rely on and (b) that Latin decoding is
+unaffected by the kana set's existence.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ms_ocr_spark.extraction.ocr.glyphs import (
+    ALPHABET,
+    KANA_ALPHABET,
+    glyph_bitmap,
+    render_text,
+)
+from ms_ocr_spark.extraction.ocr.kernel import (
+    _CHARSETS,
+    connected_components,
+    decode_image,
+    rotate_bilinear,
+)
+
+
+def test_kana_disjoint_from_latin():
+    assert not set(KANA_ALPHABET) & set(ALPHABET)
+    assert len(KANA_ALPHABET) >= 24
+
+
+def test_kana_glyphs_single_component_full_height():
+    """Each kana must be ONE 8-connected component (the CC segmenter would
+    otherwise split it in one of the two layouts) spanning rows 0..6
+    (always the tall size class — kana has no x-height tier)."""
+    for ch in KANA_ALPHABET:
+        bm = glyph_bitmap(ch)
+        assert bm[0].any() and bm[-1].any(), ch
+        assert len(connected_components(bm)) == 1, ch
+
+
+def test_kana_margin_within_gates():
+    """Same decode-margin invariant as the Latin stack: cross-char
+    distances inside the (class, aspect) gates exceed the unambiguous
+    threshold, so greedy nearest-template decode is exact."""
+    cs = _CHARSETS["kana"]
+    flat = cs.stack.reshape(len(cs.stack), -1).astype(np.int32)
+    loga = cs.log_aspect
+    worst = 1 << 30
+    for i in range(len(flat)):
+        same_gate = (
+            (cs.tall == cs.tall[i])
+            & (np.abs(loga - loga[i]) <= np.log(1.6))
+            & np.array([c != cs.chars[i] for c in cs.chars])
+        )
+        if same_gate.any():
+            d = np.abs(flat[same_gate] - flat[i]).sum(axis=1).min()
+            worst = min(worst, int(d))
+    assert worst >= 18, worst
+
+
+@pytest.mark.parametrize("deg", [-3.0, -1.5, 0.0, 0.5, 2.0, 3.0])
+def test_kana_horizontal_decode(deg):
+    txt = "アイウ エオカ\nキクコ サスセ"
+    img = render_text(txt)
+    if deg:
+        img = rotate_bilinear(img, deg)
+    assert decode_image(img, "ja") == txt
+
+
+def test_kana_vertical_decode_right_to_left():
+    """ja_vert columns read right to left: the FIRST truth line is the
+    rightmost rendered column (reference psm-5 reading order)."""
+    from ms_ocr_spark.sources.datagen import (
+        _VCHAR_PITCH_FPX,
+        _VCOL_PITCH_FPX,
+    )
+    from ms_ocr_spark.extraction.ocr.glyphs import render_placed
+
+    cols = ["カキク", "サスセ", "チトナ"]
+    n = len(cols)
+    placed = [
+        ((n - 1 - li) * _VCOL_PITCH_FPX, ci * _VCHAR_PITCH_FPX, ch)
+        for li, col in enumerate(cols)
+        for ci, ch in enumerate(col)
+    ]
+    img = render_placed(placed)
+    assert decode_image(img, "ja_vert") == "\n".join(cols)
+
+
+def test_latin_decode_unaffected_by_kana_charset():
+    """Charset gating: the kana set must not perturb Latin decodes — the
+    same image decodes identically with language None / '-' / 'en'."""
+    img = render_text("HELLO WORLD\nSPARK 42")
+    for lang in (None, "-", "en"):
+        assert decode_image(img, lang) == "HELLO WORLD\nSPARK 42"
+
+
+def test_kana_square_grid_needs_routing():
+    """A square kana grid ties the orientation heuristic and carries a
+    non-Latin charset: only `ja_vert` routing decodes it; auto-detect
+    (Latin charset, horizontal read) must NOT reproduce the truth."""
+    from ms_ocr_spark.sources.datagen import (
+        make_vertical_square_truth,
+        render_vertical_image,
+    )
+
+    truth = make_vertical_square_truth(49, 3, 0)
+    img = render_vertical_image(49, "img-x", truth)
+    assert decode_image(img, "ja_vert") == truth
+    assert decode_image(img, None) != truth

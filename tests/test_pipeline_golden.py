@@ -182,6 +182,22 @@ def test_language_routing_required_for_squares(spark, tmp_path):
     assert n_match < golden.count(), "auto-detect decoded the squares; tier not ambiguous"
 
 
+def test_kana_tier_golden(spark, tmp_path):
+    """All-Japanese corpus: every doc routes ja (horizontal katakana) or
+    ja_vert (katakana squares); golden span equality 100% — the routing
+    column selects the kana CHARSET, not just the layout (round 4)."""
+    from ms_ocr_spark.sources.datagen import write_corpus
+
+    paths = write_corpus(str(tmp_path / "kana"), n_docs=24, seed=19, routed_pct=1.0)
+    docs = spark.read.parquet(paths["documents"])
+    media = spark.read.parquet(paths["media_store"])
+    golden = spark.read.parquet(paths["golden_spans"])
+    # non-Latin truth text really present, horizontal and vertical
+    langs = {r["language"] for r in docs.select("language").distinct().collect()}
+    assert langs == {"ja", "ja_vert"}
+    _assert_spans_equal(extract_documents(docs, media), golden)
+
+
 def test_language_validation_rejects_unknown_codes(spark, tmp_path):
     """P13: an invalid language code must degrade to auto-detect (NULL),
     not crash or route."""
