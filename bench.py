@@ -28,47 +28,13 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "12000"))
 BENCH_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
 
-HEADLINE = [
-    "q1_pricing_summary",
-    "q3_top_orders",
-    "rollup_orders",
-    "pivot_event_counts",
-    "window_topk_orders",
-    "sessionize_events",
-    "merge_event_intervals",
-    "asof_last_click",
-    "overlap_join_boxes",
-    "containment_anti_boxes",
-    "table_grid_cells",
-    "grid_pivot_cells",
-    "dedup_exact_docs",
-    "minhash_signatures_docs",
-    "lsh_candidate_pairs_docs",
-    "ngram_jaccard_pairs",
-    "dedup_keepers_docs",
-    "dedup_keepers_cc_docs",
-    "simhash_docs",
-    "ann_brute_force_topk",
-    "ann_lsh_topk",
-    "ann_lsh_multitable_topk",
-    "embedding_neardup_pairs",
-    "lang_id_docs",
-    "quality_score_docs",
-    "token_count_docs",
-    "fingerprint_docs",
-    "sequence_events",
-    "cube_lineitem",
-    "distinct_users_by_type",
-    "scalar_functions_events",
-    "table_cells_from_media",
-    "table_html_from_media",
-    "extract_spans_vertical",
-    "extract_spans_warped",
-    "extract_spans_jpeg",
-    "extract_spans_tiff",
-    "extract_spans_mixedcase",
-    "extract_spans_routed",
-]
+# The timed set is the ENTIRE query registry (BENCH keys == CORRECTNESS
+# keys by construction — VERDICT r3 item 3 closed the 6-query coverage
+# gap; deriving the list keeps it closed as operators land).
+def _headline_names() -> list[str]:
+    from ms_ocr_spark import queries as Q
+
+    return list(Q.queries())
 
 
 def _corpus_dir() -> str:
@@ -158,7 +124,7 @@ def run_headline_queries() -> tuple[dict[str, float], float]:
     qs["q1_pricing_summary"](spark, SF_DIR).write.format("noop").mode(
         "overwrite"
     ).save()
-    for name in HEADLINE:
+    for name in _headline_names():
         t0 = time.time()
         df = qs[name](spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
@@ -252,19 +218,33 @@ def main() -> None:
 
     # per-query timings are compared round over round, so they deserve the
     # same window hygiene as the scaling ladder: a ~20 s no-Spark probe
-    # predicts a throttled window — wait it out (bounded) before timing
-    for _ in range(5):
+    # predicts a throttled window — wait it out (bounded) before timing,
+    # and record pre/post probe evidence next to the numbers so a
+    # throttled window can never masquerade as a code regression
+    # (VERDICT r3 'wrong' #2)
+    headline_pre = 0.0
+    t_hl = time.time()
+    for _ in range(9):
         warm = kernel_pool_control(n_imgs=1200, pairs=((1, 4),))
-        if warm["pool_scaling_efficiency_1_to_4"] >= 0.85:
+        headline_pre = warm["pool_scaling_efficiency_1_to_4"]
+        if headline_pre >= 0.85 or time.time() - t_hl > 420:
             break
         print(
-            f"bench: headline pre-probe 1->4="
-            f"{warm['pool_scaling_efficiency_1_to_4']} unhealthy,"
+            f"bench: headline pre-probe 1->4={headline_pre} unhealthy,"
             " waiting 45 s",
             file=sys.stderr,
         )
         time.sleep(45)
     timings, sf = run_headline_queries()
+    headline_post = kernel_pool_control(n_imgs=1200, pairs=((1, 4),))[
+        "pool_scaling_efficiency_1_to_4"
+    ]
+    headline_probe = {
+        "probe_pre": headline_pre,
+        "probe_post": headline_post,
+        "window_valid": headline_pre >= 0.85 and headline_post >= 0.8,
+    }
+    print(f"bench: headline window {headline_probe}", file=sys.stderr)
 
     # Scaling ladder (sandbox proxy for two cluster sizes, BASELINE.json
     # north rule).  The N -> 4N pair is CPUS/8 -> CPUS/2 (e.g. local[4] vs
@@ -402,6 +382,7 @@ def main() -> None:
         "value": runs[CPUS]["docs_per_sec"],
         "unit": "sec",
         "queries": timings,
+        "headline_probe": headline_probe,
         "sf": sf,
         "extraction": extraction,
     }
@@ -421,6 +402,7 @@ def main() -> None:
         "value": runs[CPUS]["docs_per_sec"],
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in timings.items()},
+        "headline_probe": headline_probe,
         "sf": sf,
         "extraction": {
             **slim_rungs,

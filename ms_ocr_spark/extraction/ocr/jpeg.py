@@ -358,6 +358,41 @@ def decode_gray_jpeg(data: bytes) -> np.ndarray:
     return np.clip(np.round(out), 0, 255).astype(np.uint8)[:h, :w]
 
 
+def is_progressive_jpeg(data: bytes) -> bool:
+    """True when the frame header is progressive (SOF2/6/10/14) — a
+    documented decode-scope cut (this codec is baseline-only, see module
+    header), surfaced so quarantine telemetry can distinguish
+    `unsupported_progressive` from plain `invalid` bytes.  Walks marker
+    segments up to SOS; entropy data is never scanned, so no false
+    positives from 0xFFC2 byte pairs inside compressed data."""
+    if data[:2] != b"\xff\xd8":
+        return False
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            return False
+        marker = data[pos + 1]
+        if marker in (0xC2, 0xC6, 0xCA, 0xCE):
+            return True
+        if marker in (0xD9, 0xDA):  # EOI / SOS: frame header already seen
+            return False
+        if 0xD0 <= marker <= 0xD8 or marker == 0x01:  # standalone markers
+            pos += 2
+            continue
+        (seg_len,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        pos += 2 + seg_len
+    return False
+
+
+def encode_progressive_stub(h: int = 32, w: int = 64) -> bytes:
+    """Minimal syntactically-valid progressive-JPEG HEADER (SOI + SOF2 +
+    EOI, no scan data).  Telemetry fixture only: it sniffs as jpeg,
+    trips `is_progressive_jpeg`, and (by design) fails `decode_gray_jpeg`
+    — the shape a real camera progressive JPEG takes in this engine."""
+    sof2 = struct.pack(">HBHHB", 11, 8, h, w, 1) + bytes([1, 0x11, 0])
+    return b"\xff\xd8\xff\xc2" + sof2 + b"\xff\xd9"
+
+
 def jfif_density(data: bytes) -> float | None:
     """dpi from the JFIF APP0 density fields (units==1), else None."""
     if data[:2] != b"\xff\xd8":

@@ -164,8 +164,29 @@ def decode_rgb(data: bytes) -> np.ndarray:
     return flat[:, 1:].reshape(height, width, 3).copy()
 
 
+def rgb_to_gray(img: np.ndarray) -> np.ndarray:
+    """ITU-R BT.601 luminance: Y = 0.299 R + 0.587 G + 0.114 B, rounded.
+
+    The K3 gray-conversion direction the reference gets from PIL/OpenCV
+    (`image_processor/main.py:58-63` decodes to RGB; the engines gray it
+    before detection).  Deterministic float64 math so the datagen golden
+    (which measures the same conversion) is bit-identical.
+    """
+    y = (
+        0.299 * img[:, :, 0].astype(np.float64)
+        + 0.587 * img[:, :, 1].astype(np.float64)
+        + 0.114 * img[:, :, 2].astype(np.float64)
+    )
+    return np.clip(np.rint(y), 0, 255).astype(np.uint8)
+
+
 def decode_gray(data: bytes) -> np.ndarray:
-    """PNG bytes (grayscale-8) -> uint8 HxW array."""
+    """PNG bytes (grayscale-8 OR truecolor-8) -> uint8 HxW array.
+
+    Truecolor (color type 2 — the reference's native ndarray shape,
+    `image_processor/main.py:58-63`) is converted to luminance via
+    `rgb_to_gray`; gray files take the unchanged byte-identical path.
+    """
     if data[:8] != _SIGNATURE:
         raise ValueError("not a PNG")
     pos = 8
@@ -178,6 +199,8 @@ def decode_gray(data: bytes) -> np.ndarray:
         pos += 12 + length
         if tag == b"IHDR":
             width, height, depth, ctype = struct.unpack(">IIBB", payload[:10])
+            if depth == 8 and ctype == 2:
+                return rgb_to_gray(decode_rgb(data))
             if depth != 8 or ctype != 0:
                 raise ValueError(f"unsupported PNG: depth={depth} ctype={ctype}")
         elif tag == b"IDAT":

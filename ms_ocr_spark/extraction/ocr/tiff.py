@@ -7,15 +7,19 @@ PIL/OpenCV, so TIFF media in the synthetic corpus are real baseline
 TIFF 6.0 bytes produced/consumed by this codec.
 
 Scope (documented, honest):
-  * encode: little-endian, single-sample gray8, BlackIsZero,
-    uncompressed, MULTI-STRIP (strips keep readers streaming-friendly
-    and mirror what scanners emit), optional X/Y resolution (dpi).
-  * decode: either endianness, first IFD, gray8 single-sample,
-    Compression 1 (none) or 32773 (PackBits RLE), Photometric 0
-    (WhiteIsZero -> inverted on load) or 1, any strip layout.
-Anything else (LZW, tiled, multi-sample, 1/4/16-bit) raises ValueError —
-the pipeline quarantines such rows, the same admission-reject behavior
-the reference applies to bad uploads (`src/controller/Upload.ts:22-32`).
+  * encode: little-endian, single-sample gray, BlackIsZero, MULTI-STRIP
+    (strips keep readers streaming-friendly and mirror what scanners
+    emit), Compression 1 (none), 5 (LZW, TIFF 6.0 §13 with early change)
+    or 32773 (PackBits), 8- or 16-bit samples, optional X/Y dpi.
+  * decode: either endianness, first IFD, single-sample gray,
+    Compression 1/5/32773, BitsPerSample 8 or 16 (16-bit collapses to
+    the high byte — the 8-bit pipeline's view of a 16-bit scan),
+    Photometric 0 (WhiteIsZero -> inverted on load) or 1, any strip
+    layout.
+Anything else (tiled, multi-sample, 1/4-bit, JPEG-in-TIFF) raises
+ValueError — the pipeline quarantines such rows, the same
+admission-reject behavior the reference applies to bad uploads
+(`src/controller/Upload.ts:22-32`).
 """
 
 from __future__ import annotations
@@ -41,17 +45,175 @@ _T_RES_UNIT = 296
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}  # BYTE ASCII SHORT LONG RATIONAL
 
 
+def _packbits(data: bytes) -> bytes:
+    """Apple PackBits RLE encoder (TIFF 6.0 §9): runs >= 3 become
+    (257-n, byte); literals are chunked at 128."""
+    out = bytearray()
+    i, n = 0, len(data)
+    lit_start = 0
+
+    def _flush_literals(end: int) -> None:
+        j = lit_start
+        while j < end:
+            k = min(128, end - j)
+            out.append(k - 1)
+            out.extend(data[j : j + k])
+            j += k
+
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            _flush_literals(i)
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            lit_start = i
+        else:
+            i += run
+    _flush_literals(i)
+    return bytes(out)
+
+
+class _BitPackerMSB:
+    """MSB-first variable-width code stream (TIFF LZW bit order)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, width: int) -> None:
+        self.acc = (self.acc << width) | code
+        self.nbits += width
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.out.append((self.acc >> self.nbits) & 0xFF)
+        # trim consumed high bits — an untrimmed accumulator grows into
+        # an arbitrarily long int and turns the stream quadratic
+        self.acc &= (1 << self.nbits) - 1
+
+    def done(self) -> bytes:
+        if self.nbits:
+            self.out.append((self.acc << (8 - self.nbits)) & 0xFF)
+        return bytes(self.out)
+
+
+_LZW_CLEAR, _LZW_EOI = 256, 257
+
+
+def _lzw_compress(data: bytes) -> bytes:
+    """TIFF 6.0 §13 LZW with the spec's EARLY CHANGE: code width bumps
+    when the NEXT code to be assigned reaches 2^width - 1."""
+    bp = _BitPackerMSB()
+    table: dict[bytes, int] = {bytes([c]): c for c in range(256)}
+    next_code, width = 258, 9
+    bp.put(_LZW_CLEAR, width)
+    cur = b""
+    for byte in data:
+        nxt = cur + bytes([byte])
+        if nxt in table:
+            cur = nxt
+            continue
+        bp.put(table[cur], width)
+        table[nxt] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        elif next_code >= 4094:  # table full: reset
+            bp.put(_LZW_CLEAR, width)
+            table = {bytes([c]): c for c in range(256)}
+            next_code, width = 258, 9
+        cur = bytes([byte])
+    if cur:
+        bp.put(table[cur], width)
+    bp.put(_LZW_EOI, width)
+    return bp.done()
+
+
+def _lzw_decompress(data: bytes, expected: int) -> bytes:
+    """Inverse of `_lzw_compress` (same early-change rule)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([c]) for c in range(256)] + [b"", b""]
+    width = 9
+    acc = nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            nbits -= width
+            code = (acc >> nbits) & ((1 << width) - 1)
+            acc &= (1 << nbits) - 1  # trim consumed bits (see _BitPackerMSB)
+            if code == _LZW_EOI:
+                if len(out) < expected:
+                    raise ValueError("truncated LZW strip")
+                return bytes(out[:expected])
+            if code == _LZW_CLEAR:
+                table = table[:258]
+                width = 9
+                prev = None
+                continue
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("bad first LZW code")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):  # KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("LZW code out of range")
+            out += entry
+            prev = entry
+            # early change, decoder side: the decoder's table lags the
+            # encoder's by exactly one assignment (the entry for emission
+            # i is appended while reading emission i+1), so it must bump
+            # one entry earlier than the encoder's 2^w - 1 threshold
+            if len(table) == (1 << width) - 2 and width < 12:
+                width += 1
+            if len(out) >= expected:
+                return bytes(out[:expected])
+    if len(out) < expected:
+        raise ValueError("truncated LZW strip")
+    return bytes(out[:expected])
+
+
 def encode_gray_tiff(
-    img: np.ndarray, dpi: float | None = None, rows_per_strip: int = 64
+    img: np.ndarray,
+    dpi: float | None = None,
+    rows_per_strip: int = 64,
+    compression: int = 1,
+    bits: int = 8,
 ) -> bytes:
-    """Gray8 ndarray -> little-endian uncompressed multi-strip TIFF."""
+    """Gray ndarray -> little-endian multi-strip TIFF.
+
+    `compression`: 1 (none), 5 (LZW) or 32773 (PackBits).
+    `bits`: 8, or 16 (samples widened v -> v*257, the exact 8->16 scale).
+    """
     if img.dtype != np.uint8 or img.ndim != 2:
         raise ValueError("encode_gray_tiff expects a 2-D uint8 array")
+    if compression not in (1, 5, 32773):
+        raise ValueError(f"unsupported compression {compression}")
+    if bits not in (8, 16):
+        raise ValueError(f"unsupported bit depth {bits}")
     h, w = img.shape
     rows_per_strip = max(1, min(rows_per_strip, h))
+    if bits == 16:
+        sample_img = (img.astype("<u2") * 257).astype("<u2")
+    else:
+        sample_img = img
     strips = [
-        img[y : y + rows_per_strip].tobytes() for y in range(0, h, rows_per_strip)
+        sample_img[y : y + rows_per_strip].tobytes()
+        for y in range(0, h, rows_per_strip)
     ]
+    if compression == 5:
+        strips = [_lzw_compress(s) for s in strips]
+    elif compression == 32773:
+        strips = [_packbits(s) for s in strips]
 
     tags: list[tuple[int, int, int, int]] = []  # (tag, type, count, value)
     extra = b""  # out-of-line values, appended after the IFD
@@ -93,8 +255,8 @@ def encode_gray_tiff(
 
     _entry(_T_WIDTH, 4, 1, w)
     _entry(_T_HEIGHT, 4, 1, h)
-    _entry(_T_BITS, 3, 1, 8)
-    _entry(_T_COMPRESSION, 3, 1, 1)
+    _entry(_T_BITS, 3, 1, bits)
+    _entry(_T_COMPRESSION, 3, 1, compression)
     _entry(_T_PHOTOMETRIC, 3, 1, 1)  # BlackIsZero
     _entry(_T_STRIP_OFFSETS, 4, len(strips), _arr_value(strip_offsets, 4))
     _entry(_T_SAMPLES, 3, 1, 1)
@@ -191,23 +353,34 @@ def decode_gray_tiff(data: bytes) -> np.ndarray:
     samples = tags.get(_T_SAMPLES, [1])[0]
     compression = tags.get(_T_COMPRESSION, [1])[0]
     photometric = tags.get(_T_PHOTOMETRIC, [1])[0]
-    if bits != 8 or samples != 1:
+    if bits not in (8, 16) or samples != 1:
         raise ValueError(f"unsupported TIFF sample layout: {bits}-bit x{samples}")
-    if compression not in (1, 32773):
+    if compression not in (1, 5, 32773):
         raise ValueError(f"unsupported TIFF compression {compression}")
     if photometric not in (0, 1):
         raise ValueError(f"unsupported TIFF photometric {photometric}")
     rows_per_strip = tags.get(_T_ROWS_PER_STRIP, [h])[0]
+    bpp = bits // 8
     raw = bytearray()
     for si, (so, sc) in enumerate(zip(offsets, counts)):
         strip = bytes(data[so : so + sc])
         n_rows = min(rows_per_strip, h - si * rows_per_strip)
+        n_bytes = n_rows * w * bpp
         if compression == 32773:
-            strip = _unpackbits(strip, n_rows * w)
-        elif len(strip) < n_rows * w:
+            strip = _unpackbits(strip, n_bytes)
+        elif compression == 5:
+            strip = _lzw_decompress(strip, n_bytes)
+        elif len(strip) < n_bytes:
             raise ValueError("truncated TIFF strip")
-        raw += strip[: n_rows * w]
-    img = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w)
+        raw += strip[:n_bytes]
+    if bits == 16:
+        # byte order follows the file header; collapse to the high byte
+        # (the exact inverse of the v*257 widening this codec writes)
+        e = "<u2" if data[:2] == b"II" else ">u2"
+        wide = np.frombuffer(bytes(raw), dtype=e).reshape(h, w)
+        img = (wide >> 8).astype(np.uint8)
+    else:
+        img = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w)
     if photometric == 0:  # WhiteIsZero
         img = 255 - img
     return img

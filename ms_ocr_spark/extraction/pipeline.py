@@ -242,22 +242,47 @@ def extract_documents(
     return result
 
 
+@F.pandas_udf(T.BooleanType())
+def _progressive_jpeg_flag(payload: pd.Series) -> pd.Series:
+    """Arrow-batched SOF2-family marker sniff (decode-scope telemetry)."""
+    from ms_ocr_spark.extraction.ocr.jpeg import is_progressive_jpeg
+
+    return pd.Series(
+        [
+            bool(is_progressive_jpeg(bytes(b))) if b is not None else None
+            for b in payload
+        ],
+        dtype=object,
+    )
+
+
 def quarantine_invalid_media(docs: DataFrame, media: DataFrame) -> DataFrame:
     """Side output for the validation gate: media spans whose payload
     fails admission (unknown magic bytes / oversized / missing) — the
     relational analog of the reference's upload rejection
-    (`/root/reference/src/controller/Upload.ts:22-32`).  Write this to a
-    quarantine sink next to the main output."""
+    (`/root/reference/src/controller/Upload.ts:22-32`) — or whose bytes
+    pass admission but sit outside this engine's decode scope.  Write
+    this to a quarantine sink next to the main output.
+
+    `reason` values: `missing` (no payload row), `invalid` (magic-byte /
+    size rejection), `unsupported_progressive` (valid JPEG whose frame is
+    progressive — the baseline codec quarantines it by design; the
+    distinct reason lets a corpus operator see the decode-scope cost,
+    VERDICT r3 item 7)."""
     from ms_ocr_spark.operators.multimodal import mime_col, valid_payload_col
 
     flat = explode_spans(docs).filter(F.col("kind") == "media")
     joined = flat.join(media.select("media_ref", "payload"), "media_ref", "left")
+    is_prog = (F.col("mime") == "jpeg") & F.coalesce(
+        _progressive_jpeg_flag(F.col("payload")), F.lit(False)
+    )
     return (
         joined.withColumn("mime", mime_col("payload"))
         .withColumn(
             "reason",
             F.when(F.col("payload").isNull(), "missing")
             .when(~valid_payload_col("payload"), "invalid")
+            .when(is_prog, "unsupported_progressive")
             .otherwise("ok"),
         )
         .filter(F.col("reason") != "ok")

@@ -1,10 +1,11 @@
 """Multimodal column operators: opaque binary payloads + typed metadata.
 
-Images are REAL here (the engine ships its own PNG gray8 codec), so
+Images are REAL here (the engine ships its own PNG/JPEG/TIFF codecs), so
 decode / resize / feature-extract run genuinely inside `mapInPandas`.
-Audio decode and video frame-sampling require codecs this container lacks:
-the Spark-side plumbing (schema, batching, partitioning) is real and
-tested, while the codec call is a deterministic fake clearly marked STUB.
+Audio is REAL too (round 4): RIFF/WAVE PCM-16 parsed with the stdlib
+`wave` module.  Video frame-sampling requires codecs this container
+lacks: the Spark-side plumbing (schema, batching, fan-out) is real and
+tested, while the decode call is a deterministic fake clearly marked STUB.
 
 Pattern notes (100 TB): mapInPandas streams Arrow batches through one
 Python worker per core — payload bytes never round-trip the driver;
@@ -107,7 +108,7 @@ def image_metadata(media: DataFrame, payload_col: str = "payload") -> DataFrame:
             rows = []
             for ref, buf in zip(pdf["media_ref"], pdf[payload_col]):
                 fmt = sniff_format(bytes(buf) if buf is not None else None)
-                if fmt in ("png", "jpeg", "tiff"):
+                try:
                     if fmt == "png":
                         img = decode_gray(bytes(buf))
                         sv = side_values(bytes(buf))
@@ -120,7 +121,7 @@ def image_metadata(media: DataFrame, payload_col: str = "payload") -> DataFrame:
                             "icc_name": None,
                             "orientation": None,
                         }
-                    else:
+                    elif fmt == "jpeg":
                         img = decode_gray_jpeg(bytes(buf))
                         # JPEG side-values: JFIF density only (no
                         # iCCP/eXIf analog in this codec's scope)
@@ -129,6 +130,8 @@ def image_metadata(media: DataFrame, payload_col: str = "payload") -> DataFrame:
                             "icc_name": None,
                             "orientation": None,
                         }
+                    else:
+                        raise ValueError("unknown format")
                     # rounded to 6dp with Python round(): bit-identical to
                     # the datagen golden (same expressions on the same
                     # round-tripped pixels — datagen measures the DECODED
@@ -146,7 +149,11 @@ def image_metadata(media: DataFrame, payload_col: str = "payload") -> DataFrame:
                             sv["orientation"],
                         )
                     )
-                else:
+                except Exception:
+                    # decode-scope failures (e.g. progressive JPEG,
+                    # truncated files) yield a null metadata row with the
+                    # sniffed format preserved — never a task failure
+                    # (same contract as the OCR UDF's quarantine path)
                     rows.append((ref, None, None, None, None, fmt, None, None, None))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in IMAGE_META_SCHEMA.fields]
@@ -262,9 +269,69 @@ def video_frame_sample(
     )
 
 
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+
+def wav_features(buf: bytes) -> tuple | None:
+    """Decode one RIFF/WAVE PCM-16 payload -> feature tuple, or None when
+    the bytes are not a decodable WAV (the caller emits a null row).
+
+    Stdlib-only (wave + numpy), deterministic float64 math:
+      * duration_s = frames / rate, 6 dp
+      * rms of all samples normalized to [-1, 1] (int16 / 32768), 6 dp
+      * zero crossings of channel 0 (signbit transitions)
+    """
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(buf)) as w:
+            if w.getsampwidth() != 2 or w.getcomptype() != "NONE":
+                return None
+            rate, nch, nframes = w.getframerate(), w.getnchannels(), w.getnframes()
+            raw = w.readframes(nframes)
+    except Exception:
+        return None
+    x = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+    if len(x) == 0:
+        return (rate, nch, 0, 0.0, 0.0, 0)
+    rms = round(float(np.sqrt(np.mean((x / 32768.0) ** 2))), 6)
+    ch0 = x[::nch]
+    zc = int(np.count_nonzero(np.diff(np.signbit(ch0))))
+    return (rate, nch, nframes, round(nframes / rate, 6), rms, zc)
+
+
 def audio_features(media: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """STUB: audio feature extraction — no audio codec in this container."""
-    raise NotImplementedError(
-        "audio decode requires a codec not present in this container; "
-        "the mapInPandas pattern mirrors video_frame_sample"
+    """Audio feature extraction over binary WAV payloads (round 4 — the
+    last stub closed): RIFF/WAVE PCM-16 parsed with the stdlib `wave`
+    module inside `mapInPandas` (no external codec needed); compressed or
+    non-WAV payloads yield all-null feature rows, mirroring the
+    image_metadata quarantine contract.  Same 100-TB shape as the image
+    path: payloads stream through Arrow batches, never the driver."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, buf in zip(pdf["media_ref"], pdf[payload_col]):
+                feats = wav_features(bytes(buf)) if buf is not None else None
+                if feats is None:
+                    rows.append((ref, None, None, None, None, None, None))
+                else:
+                    rows.append((ref, *feats))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_SCHEMA.fields]
+            )
+
+    return media.select("media_ref", payload_col).mapInPandas(
+        _extract, schema=AUDIO_SCHEMA
     )

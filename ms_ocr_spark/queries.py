@@ -1349,6 +1349,46 @@ def _extract_spans_routed_oracle() -> str:
     return _golden_spans_oracle(_corpus_paths_routed()["golden_spans"])
 
 
+def _corpus_paths_rgb(n_docs: int = 40) -> dict[str, str]:
+    """Mixed gray/color PNG tier (reference decodes to HxWx3 RGB,
+    `image_processor/main.py:58-63`): ~60% of payloads are truecolor PNGs
+    with seeded ink/background colors; the engine converts to ITU-R
+    BT.601 luminance (K3 RGB->gray) before the kernel."""
+    import os
+
+    from ms_ocr_spark.sources.datagen import write_corpus
+
+    cache = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), ".cache", f"corpus_rgb_{n_docs}"
+    )
+    return write_corpus(cache, n_docs=n_docs, seed=50, rgb_pct=0.6)
+
+
+def extract_spans_rgb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Color extraction tier: truecolor PNGs luminance-converted in the
+    decode dispatch; gray payloads take the unchanged byte path."""
+    from ms_ocr_spark.extraction.pipeline import extract_documents
+
+    paths = _corpus_paths_rgb()
+    docs = spark.read.parquet(paths["documents"])
+    media = spark.read.parquet(paths["media_store"])
+    out = extract_documents(docs, media)
+    return out.select("doc_id", F.posexplode("spans").alias("pos", "span")).select(
+        "doc_id",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
+_REGISTRY.append(("extract_spans_rgb", extract_spans_rgb, None))
+
+
+def _extract_spans_rgb_oracle() -> str:
+    return _golden_spans_oracle(_corpus_paths_rgb()["golden_spans"])
+
+
 def _corpus_paths_kana(n_docs: int = 40) -> dict[str, str]:
     """All-Japanese corpus (reference jpn/jpn_vert recognition modes,
     `engine_tesseract/main.py:32-70`): every doc routes `ja` (horizontal
@@ -1402,6 +1442,81 @@ def media_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _REGISTRY.append(("media_image_metadata", media_image_metadata, None))
+
+
+def _corpus_paths_quarantine(n_docs: int = 40) -> dict[str, str]:
+    """Corrupted-media corpus: ~15% garbage payloads (admission reject),
+    ~20% progressive-JPEG headers (pass admission, outside the baseline
+    codec's decode scope), remainder decodable PNG/JPEG."""
+    import os
+
+    from ms_ocr_spark.sources.datagen import write_corpus
+
+    cache = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), ".cache", f"corpus_quar_{n_docs}"
+    )
+    return write_corpus(
+        cache, n_docs=n_docs, seed=51, jpeg_pct=0.3, progressive_pct=0.2, invalid_pct=0.15
+    )
+
+
+def quarantine_media_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine side output with reason telemetry: `invalid` (magic-byte
+    reject) vs `unsupported_progressive` (SOF2 frame outside the baseline
+    JPEG codec's scope — quarantined BY DESIGN, and now countable).
+    Oracle = the generator's golden_quarantine parquet (straight-line
+    derivation of the verdict per media span)."""
+    from ms_ocr_spark.extraction.pipeline import quarantine_invalid_media
+
+    paths = _corpus_paths_quarantine()
+    docs = spark.read.parquet(paths["documents"])
+    media = spark.read.parquet(paths["media_store"])
+    return quarantine_invalid_media(docs, media)
+
+
+_REGISTRY.append(("quarantine_media_reasons", quarantine_media_reasons, None))
+
+
+def _quarantine_oracle() -> str:
+    paths = _corpus_paths_quarantine()
+    return (
+        "SELECT doc_id, \"offset\", media_ref, mime, n_bytes, reason "
+        f"FROM read_parquet('{paths['golden_quarantine']}')"
+    )
+
+
+def _audio_corpus_paths(n_clips: int = 80) -> dict[str, str]:
+    import os
+
+    from ms_ocr_spark.sources.datagen import write_audio_corpus
+
+    cache = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), ".cache", f"audio_{n_clips}"
+    )
+    return write_audio_corpus(cache, n_clips=n_clips, seed=42)
+
+
+def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction over binary WAV payloads (stdlib PCM-16
+    decode inside mapInPandas).  Oracle = the generator's
+    golden_audio_features parquet, computed from the raw samples before
+    encoding (independent of the engine's decode path)."""
+    from ms_ocr_spark.operators.multimodal import audio_features
+
+    media = spark.read.parquet(_audio_corpus_paths()["audio_media"])
+    return audio_features(media)
+
+
+_REGISTRY.append(("media_audio_features", media_audio_features, None))
+
+
+def _audio_features_oracle() -> str:
+    paths = _audio_corpus_paths()
+    return (
+        "SELECT media_ref, sample_rate, n_channels, n_frames, duration_s, "
+        "rms, zero_crossings "
+        f"FROM read_parquet('{paths['golden_audio_features']}')"
+    )
 
 
 def _media_meta_oracle() -> str:
@@ -1544,7 +1659,10 @@ _LAZY_ORACLES: dict[str, Callable[[], str]] = {
     "extract_spans_mixedcase": _extract_spans_mixedcase_oracle,
     "extract_spans_routed": _extract_spans_routed_oracle,
     "extract_spans_ja": _extract_spans_ja_oracle,
+    "extract_spans_rgb": _extract_spans_rgb_oracle,
     "media_image_metadata": _media_meta_oracle,
+    "media_audio_features": _audio_features_oracle,
+    "quarantine_media_reasons": _quarantine_oracle,
     "dedup_boxes_keep_first": _keepfirst_golden_oracle,
     "table_cells_from_media": _table_cells_oracle,
     "table_html_from_media": _table_html_oracle,

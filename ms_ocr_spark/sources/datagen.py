@@ -56,6 +56,18 @@ MEDIA_META_SCHEMA = pa.schema(
         ("orientation", pa.int32()),
     ]
 )
+# quarantine golden: straight-line derivation of the admission/decode-scope
+# verdict per media span (round 4 — progressive-JPEG telemetry)
+QUARANTINE_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("offset", pa.int32()),
+        ("media_ref", pa.string()),
+        ("mime", pa.string()),
+        ("n_bytes", pa.int32()),
+        ("reason", pa.string()),
+    ]
+)
 
 _TEXT_WORDS = (
     "stream batch shuffle partition catalyst arrow vector column predicate "
@@ -274,6 +286,45 @@ def render_media_payload(seed: int, media_ref: str, truth: str) -> bytes:
     return encode_gray(render_media_image(seed, media_ref, truth))
 
 
+# color tier (round 4): seeded ink/background colors with luminance far
+# from the binarize thresholds (Y_ink < 45, Y_bg > 240), so the kernel's
+# gray-threshold decode of the BT.601 luminance stays inside the same
+# margins as the pure-gray tiers
+_RGB_INKS = ((0, 0, 128), (128, 0, 0), (24, 24, 96), (64, 32, 0))
+_RGB_BGS = ((255, 255, 240), (235, 245, 255), (255, 235, 240), (240, 255, 240))
+
+
+def colorize(img: np.ndarray, ink: tuple, bg: tuple) -> np.ndarray:
+    """Gray uint8 HxW -> HxWx3 by linear interpolation ink->bg over the
+    gray value (antialiased edges map to intermediate colors)."""
+    v = img.astype(np.float64)[:, :, None] / 255.0
+    ink_a = np.array(ink, dtype=np.float64)[None, None, :]
+    bg_a = np.array(bg, dtype=np.float64)[None, None, :]
+    return np.clip(np.rint(ink_a + (bg_a - ink_a) * v), 0, 255).astype(np.uint8)
+
+
+def rgb_payload_and_meta(seed: int, ref: str, img: np.ndarray) -> tuple[bytes, dict]:
+    """Truecolor-PNG payload + golden metadata measured on the BT.601
+    luminance (what a correct decode-then-measure engine sees)."""
+    from ms_ocr_spark.extraction.ocr.png import encode_rgb, rgb_to_gray
+
+    h = _h(seed, "rgbc", ref)
+    rgb = colorize(img, _RGB_INKS[h % len(_RGB_INKS)], _RGB_BGS[(h >> 4) % len(_RGB_BGS)])
+    lum = rgb_to_gray(rgb)
+    meta = {
+        "media_ref": ref,
+        "width": int(lum.shape[1]),
+        "height": int(lum.shape[0]),
+        "ink_ratio": round(float((lum < 128).mean()), 6),
+        "mean_intensity": round(float(lum.mean()), 6),
+        "format": "png",
+        "dpi": None,  # encode_rgb writes no ancillary chunks
+        "icc_name": None,
+        "orientation": None,
+    }
+    return encode_rgb(rgb), meta
+
+
 def media_side_values(seed: int, media_ref: str) -> dict:
     """Deterministic per-image side-values (reference S5 keeps icc/exif at
     decode, `image_processor/main.py:58-63`): dpi in a pHYs chunk, a
@@ -338,10 +389,13 @@ def _gen_chunk(args: tuple) -> tuple[list, list, list]:
         shear_pct,
         jpeg_pct,
         tiff_pct,
+        rgb_pct,
         mixed_pct,
         routed_pct,
+        progressive_pct,
+        invalid_pct,
     ) = args
-    doc_rows, media_rows, golden_rows, meta_rows = [], [], [], []
+    doc_rows, media_rows, golden_rows, meta_rows, quarantine_rows = [], [], [], [], []
     n_skewed = int(n_docs * skew_doc_pct)
     for i in range(lo, hi):
         doc_id = f"doc-{i:08d}"
@@ -410,6 +464,18 @@ def _gen_chunk(args: tuple) -> tuple[list, list, list]:
                     truth = make_media_truth(seed, i, off)
                     img = render_media_image(seed, ref, truth)
                 side = media_side_values(seed, ref)
+                # undecodable tiers (round 4, quarantine telemetry): the
+                # golden span text is NULL (the engine quarantines, never
+                # crashes) and golden_quarantine records the reason
+                is_invalid = (
+                    invalid_pct > 0
+                    and _h(seed, "isinvalid", i, off) % 1000 < invalid_pct * 1000
+                )
+                is_prog = (
+                    not is_invalid
+                    and progressive_pct > 0
+                    and _h(seed, "isprog", i, off) % 1000 < progressive_pct * 1000
+                )
                 is_jpeg = (
                     jpeg_pct > 0
                     and _h(seed, "isjpeg", i, off) % 1000 < jpeg_pct * 1000
@@ -419,10 +485,63 @@ def _gen_chunk(args: tuple) -> tuple[list, list, list]:
                     and tiff_pct > 0
                     and _h(seed, "istiff", i, off) % 1000 < tiff_pct * 1000
                 )
-                if is_tiff:
-                    # lossless multi-strip baseline TIFF (reference accepts
-                    # tif/tiff last in its allow-list, env/local.env:25)
-                    payload = encode_gray_tiff(img, dpi=side["dpi"])
+                is_rgb = (
+                    not is_jpeg
+                    and not is_tiff
+                    and rgb_pct > 0
+                    and _h(seed, "isrgb", i, off) % 1000 < rgb_pct * 1000
+                )
+                if is_invalid or is_prog:
+                    from ms_ocr_spark.extraction.ocr.jpeg import (
+                        encode_progressive_stub,
+                    )
+
+                    if is_invalid:
+                        payload = (
+                            b"GARBAGE-"
+                            + hashlib.md5(f"inv:{ref}".encode()).digest() * 3
+                        )
+                        fmt, reason = "unknown", "invalid"
+                    else:
+                        payload = encode_progressive_stub(
+                            int(img.shape[0]), int(img.shape[1])
+                        )
+                        fmt, reason = "jpeg", "unsupported_progressive"
+                    meta_rows.append(
+                        {
+                            "media_ref": ref,
+                            "width": None,
+                            "height": None,
+                            "ink_ratio": None,
+                            "mean_intensity": None,
+                            "format": fmt,
+                            "dpi": None,
+                            "icc_name": None,
+                            "orientation": None,
+                        }
+                    )
+                    quarantine_rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "offset": off,
+                            "media_ref": ref,
+                            "mime": fmt,
+                            "n_bytes": len(payload),
+                            "reason": reason,
+                        }
+                    )
+                elif is_tiff:
+                    # lossless multi-strip TIFF (reference accepts tif/tiff
+                    # last in its allow-list, env/local.env:25); variants
+                    # rotate through the decode scope — uncompressed, LZW,
+                    # PackBits, 16-bit (all lossless -> same golden)
+                    hv = _h(seed, "tiffvar", i, off)
+                    comp, tbits = ((1, 8), (5, 8), (32773, 8), (1, 16), (5, 16))[
+                        hv % 5
+                    ]
+                    payload = encode_gray_tiff(
+                        img, dpi=side["dpi"], compression=comp, bits=tbits
+                    )
                     meta_rows.append(
                         {
                             "media_ref": ref,
@@ -456,6 +575,12 @@ def _gen_chunk(args: tuple) -> tuple[list, list, list]:
                             "orientation": None,
                         }
                     )
+                elif is_rgb:
+                    # color tier: truecolor PNG, decoded via BT.601
+                    # luminance (K3 direction RGB->gray; golden measures
+                    # the identical conversion)
+                    payload, rmeta = rgb_payload_and_meta(seed, ref, img)
+                    meta_rows.append(rmeta)
                 else:
                     payload = encode_gray(
                         img,
@@ -471,14 +596,20 @@ def _gen_chunk(args: tuple) -> tuple[list, list, list]:
                     {"kind": "media", "text": None, "media_ref": ref, "offset": off}
                 )
                 out_spans.append(
-                    {"kind": "media", "text": truth, "media_ref": ref, "offset": off}
+                    {
+                        "kind": "media",
+                        # undecodable payloads quarantine -> null text
+                        "text": None if (is_invalid or is_prog) else truth,
+                        "media_ref": ref,
+                        "offset": off,
+                    }
                 )
         drow = {"doc_id": doc_id, "spans": in_spans}
         if routed_pct > 0:
             drow["language"] = language
         doc_rows.append(drow)
         golden_rows.append({"doc_id": doc_id, "spans": out_spans})
-    return doc_rows, media_rows, golden_rows, meta_rows
+    return doc_rows, media_rows, golden_rows, meta_rows, quarantine_rows
 
 
 def gen_corpus(
@@ -490,10 +621,13 @@ def gen_corpus(
     shear_pct: float = 0.0,
     jpeg_pct: float = 0.0,
     tiff_pct: float = 0.0,
+    rgb_pct: float = 0.0,
     mixed_pct: float = 0.0,
     routed_pct: float = 0.0,
+    progressive_pct: float = 0.0,
+    invalid_pct: float = 0.0,
     processes: int | None = None,
-) -> tuple[pa.Table, pa.Table, pa.Table, pa.Table]:
+) -> tuple[pa.Table, pa.Table, pa.Table, pa.Table, pa.Table]:
     """Build (documents, media_store, golden_spans) arrow tables.
 
     skew_doc_pct > 0 gives that fraction of docs `skew_mult`x the span count
@@ -518,8 +652,11 @@ def gen_corpus(
                 shear_pct,
                 jpeg_pct,
                 tiff_pct,
+                rgb_pct,
                 mixed_pct,
                 routed_pct,
+                progressive_pct,
+                invalid_pct,
             )
         )
     if processes > 1:
@@ -533,6 +670,7 @@ def gen_corpus(
     media_rows = [r for p in parts for r in p[1]]
     golden_rows = [r for p in parts for r in p[2]]
     meta_rows = [r for p in parts for r in p[3]]
+    quarantine_rows = [r for p in parts for r in p[4]]
     docs_schema = (
         DOCS_SCHEMA.append(pa.field("language", pa.string()))
         if routed_pct > 0
@@ -542,7 +680,8 @@ def gen_corpus(
     media = pa.Table.from_pylist(media_rows, schema=MEDIA_SCHEMA)
     golden = pa.Table.from_pylist(golden_rows, schema=DOCS_SCHEMA)
     meta = pa.Table.from_pylist(meta_rows, schema=MEDIA_META_SCHEMA)
-    return docs, media, golden, meta
+    quarantine = pa.Table.from_pylist(quarantine_rows, schema=QUARANTINE_SCHEMA)
+    return docs, media, golden, meta, quarantine
 
 
 def write_corpus(out_dir: str, n_docs: int, seed: int = 42, **kw) -> dict[str, str]:
@@ -558,13 +697,21 @@ def write_corpus(out_dir: str, n_docs: int, seed: int = 42, **kw) -> dict[str, s
     os.makedirs(out_dir, exist_ok=True)
     paths = {
         name: os.path.join(out_dir, f"{name}.parquet")
-        for name in ("documents", "media_store", "golden_spans", "golden_media_meta")
+        for name in (
+            "documents",
+            "media_store",
+            "golden_spans",
+            "golden_media_meta",
+            "golden_quarantine",
+        )
     }
     # fmt bumps when generation output changes for identical params
     # (e.g. new ancillary PNG chunks) — stale caches regenerate
     # fmt 3: routed tiers render katakana (ja/ja_vert charsets)
+    # fmt 4: tiff tier rotates compression/bit-depth variants (LZW/
+    #        PackBits/16-bit)
     params = {
-        "fmt": 3,
+        "fmt": 4,
         "n_docs": n_docs,
         "seed": seed,
         **{k: kw[k] for k in sorted(kw) if k != "processes"},
@@ -574,13 +721,120 @@ def write_corpus(out_dir: str, n_docs: int, seed: int = 42, **kw) -> dict[str, s
         with open(params_path) as f:
             if json.load(f) == json.loads(json.dumps(params)):
                 return paths
-    docs, media, golden, meta = gen_corpus(n_docs, seed=seed, **kw)
+    docs, media, golden, meta, quarantine = gen_corpus(n_docs, seed=seed, **kw)
     # small row groups keep the files splittable (parquet splits on row-
     # group boundaries; a single-group file caps scan parallelism at 1)
     pq.write_table(docs, paths["documents"], row_group_size=1000)
     pq.write_table(media, paths["media_store"], row_group_size=2000)
     pq.write_table(golden, paths["golden_spans"], row_group_size=1000)
     pq.write_table(meta, paths["golden_media_meta"], row_group_size=2000)
+    pq.write_table(quarantine, paths["golden_quarantine"])
+    with open(params_path, "w") as f:
+        json.dump(params, f)
+    return paths
+
+
+# ---------------------------------------------------------------------------
+# Audio tier (round 4): deterministic WAV payloads + independent feature
+# golden.  Golden features are computed from the raw int16 samples BEFORE
+# encoding, so they cross-check the engine's decode+measure path end to end
+# (same contract as golden_media_meta for images).
+# ---------------------------------------------------------------------------
+
+AUDIO_MEDIA_SCHEMA = pa.schema([("media_ref", pa.string()), ("payload", pa.binary())])
+AUDIO_GOLDEN_SCHEMA = pa.schema(
+    [
+        ("media_ref", pa.string()),
+        ("sample_rate", pa.int32()),
+        ("n_channels", pa.int32()),
+        ("n_frames", pa.int64()),
+        ("duration_s", pa.float64()),
+        ("rms", pa.float64()),
+        ("zero_crossings", pa.int64()),
+    ]
+)
+
+_AUDIO_RATES = (8000, 16000, 22050)
+
+
+def _audio_samples(seed: int, ai: int) -> tuple[np.ndarray, int, int]:
+    """Deterministic int16 waveform: 1-2 sine tones + seeded noise."""
+    h = _h(seed, "wav", ai)
+    rate = _AUDIO_RATES[h % len(_AUDIO_RATES)]
+    nch = 1 + (h >> 4) % 2
+    n_frames = 500 + (h >> 8) % 2000
+    t = np.arange(n_frames, dtype=np.float64) / rate
+    f0 = 100.0 + (h >> 12) % 900
+    x = 0.5 * np.sin(2 * np.pi * f0 * t)
+    if (h >> 20) % 2:
+        x += 0.25 * np.sin(2 * np.pi * (f0 * 2.1) * t)
+    rng = np.random.default_rng(h)
+    x += 0.02 * rng.standard_normal(n_frames)
+    mono = np.clip(np.rint(x * 20000), -32768, 32767).astype(np.int16)
+    if nch == 2:
+        right = np.clip(np.rint(x * 12000), -32768, 32767).astype(np.int16)
+        inter = np.empty(n_frames * 2, dtype=np.int16)
+        inter[0::2], inter[1::2] = mono, right
+        return inter, rate, nch
+    return mono, rate, nch
+
+
+def _encode_wav(samples: np.ndarray, rate: int, nch: int) -> bytes:
+    import io
+    import wave
+
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.astype("<i2").tobytes())
+    return bio.getvalue()
+
+
+def write_audio_corpus(out_dir: str, n_clips: int, seed: int = 42) -> dict[str, str]:
+    """Write (audio_media, golden_audio_features) parquet."""
+    import json
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = {
+        name: os.path.join(out_dir, f"{name}.parquet")
+        for name in ("audio_media", "golden_audio_features")
+    }
+    params = {"n_clips": n_clips, "seed": seed}
+    params_path = os.path.join(out_dir, "params.json")
+    if all(os.path.exists(p) for p in paths.values()) and os.path.exists(params_path):
+        with open(params_path) as f:
+            if json.load(f) == params:
+                return paths
+    media_rows, golden_rows = [], []
+    for ai in range(n_clips):
+        ref = f"wav-{ai:06d}"
+        samples, rate, nch = _audio_samples(seed, ai)
+        n_frames = len(samples) // nch
+        xf = samples.astype(np.float64)
+        ch0 = xf[::nch]
+        media_rows.append({"media_ref": ref, "payload": _encode_wav(samples, rate, nch)})
+        golden_rows.append(
+            {
+                "media_ref": ref,
+                "sample_rate": rate,
+                "n_channels": nch,
+                "n_frames": n_frames,
+                "duration_s": round(n_frames / rate, 6),
+                "rms": round(float(np.sqrt(np.mean((xf / 32768.0) ** 2))), 6),
+                "zero_crossings": int(np.count_nonzero(np.diff(np.signbit(ch0)))),
+            }
+        )
+    pq.write_table(
+        pa.Table.from_pylist(media_rows, schema=AUDIO_MEDIA_SCHEMA),
+        paths["audio_media"],
+        row_group_size=500,
+    )
+    pq.write_table(
+        pa.Table.from_pylist(golden_rows, schema=AUDIO_GOLDEN_SCHEMA),
+        paths["golden_audio_features"],
+    )
     with open(params_path, "w") as f:
         json.dump(params, f)
     return paths

@@ -78,7 +78,7 @@ def test_jpeg_tier_ocr_exact():
     checks at corpus level)."""
     from ms_ocr_spark.sources.datagen import gen_corpus
 
-    _, media, _, meta = gen_corpus(16, seed=45, jpeg_pct=0.6, processes=1)
+    _, media, _, meta, _ = gen_corpus(16, seed=45, jpeg_pct=0.6, processes=1)
     n_jpeg = 0
     for row in media.to_pylist():
         buf = bytes(row["payload"])

@@ -25,6 +25,19 @@ def test_png_round_trip():
     assert np.array_equal(decode_gray(encode_gray(img)), img)
 
 
+def test_png_rgb_luminance_decode():
+    """Truecolor PNGs decode through decode_gray as BT.601 luminance
+    (K3 RGB->gray); pure-gray channels round-trip to the gray value."""
+    from ms_ocr_spark.extraction.ocr.png import encode_rgb, rgb_to_gray
+
+    rng = np.random.default_rng(9)
+    rgb = rng.integers(0, 256, size=(21, 17, 3), dtype=np.uint8)
+    assert np.array_equal(decode_gray(encode_rgb(rgb)), rgb_to_gray(rgb))
+    gray = rng.integers(0, 256, size=(9, 11), dtype=np.uint8)
+    as_rgb = np.repeat(gray[:, :, None], 3, axis=2)
+    assert np.array_equal(decode_gray(encode_rgb(as_rgb)), gray)
+
+
 def test_glyphs_distinct():
     bitmaps = {ch: glyph_bitmap(ch) for ch in ALPHABET}
     # A-Z 0-9 a-z plus . , ! ? - ' : ; (round-3 charset widening)
@@ -154,7 +167,7 @@ def test_mixed_tier_round_trip():
     from ms_ocr_spark.extraction.ocr import decode_media
     from ms_ocr_spark.sources.datagen import gen_corpus
 
-    _, media, _, _ = gen_corpus(12, seed=46, mixed_pct=1.0, processes=1)
+    _, media, _, _, _ = gen_corpus(12, seed=46, mixed_pct=1.0, processes=1)
     rows = media.to_pylist()
     assert rows
     for row in rows:

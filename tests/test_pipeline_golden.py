@@ -198,6 +198,50 @@ def test_kana_tier_golden(spark, tmp_path):
     _assert_spans_equal(extract_documents(docs, media), golden)
 
 
+def test_rgb_tier_golden(spark, tmp_path):
+    """Color tier: truecolor PNG payloads decode via BT.601 luminance
+    (K3 RGB->gray); mixed with gray payloads in one corpus, golden span
+    equality 100% (round 4)."""
+    from ms_ocr_spark.sources.datagen import write_corpus
+
+    paths = write_corpus(str(tmp_path / "rgb"), n_docs=24, seed=20, rgb_pct=0.6)
+    docs = spark.read.parquet(paths["documents"])
+    media = spark.read.parquet(paths["media_store"])
+    golden = spark.read.parquet(paths["golden_spans"])
+    _assert_spans_equal(extract_documents(docs, media), golden)
+
+
+def test_quarantine_tier_golden_and_reasons(spark, tmp_path):
+    """Corrupted-media tier (round 4): garbage payloads reject at
+    admission (`invalid`), progressive-JPEG headers pass admission but
+    quarantine with the distinct `unsupported_progressive` reason; the
+    extraction output still matches golden (null text for both classes,
+    no task failures)."""
+    from ms_ocr_spark.extraction.pipeline import quarantine_invalid_media
+    from ms_ocr_spark.sources.datagen import write_corpus
+
+    paths = write_corpus(
+        str(tmp_path / "quar"),
+        n_docs=24,
+        seed=22,
+        jpeg_pct=0.3,
+        progressive_pct=0.25,
+        invalid_pct=0.2,
+    )
+    docs = spark.read.parquet(paths["documents"])
+    media = spark.read.parquet(paths["media_store"])
+    golden = spark.read.parquet(paths["golden_spans"])
+    _assert_spans_equal(extract_documents(docs, media), golden)
+
+    q = quarantine_invalid_media(docs, media)
+    gq = spark.read.parquet(paths["golden_quarantine"])
+    reasons = {r["reason"] for r in gq.select("reason").distinct().collect()}
+    assert reasons == {"invalid", "unsupported_progressive"}
+    cols = ["doc_id", "offset", "media_ref", "mime", "n_bytes", "reason"]
+    assert q.count() == gq.count()
+    assert gq.select(*cols).exceptAll(q.select(*cols)).count() == 0
+
+
 def test_language_validation_rejects_unknown_codes(spark, tmp_path):
     """P13: an invalid language code must degrade to auto-detect (NULL),
     not crash or route."""

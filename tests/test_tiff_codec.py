@@ -80,12 +80,32 @@ def test_unsupported_layouts_raise():
     good = encode_gray_tiff(img)
     with pytest.raises(ValueError):
         decode_gray_tiff(b"II*\0" + good[4:20])  # truncated IFD offset target
-    lzw = bytearray(good)
-    # patch Compression (tag 259) value to 5 (LZW): find its IFD entry
-    idx = lzw.find(struct.pack("<HH", 259, 3))
-    lzw[idx + 8 : idx + 10] = struct.pack("<H", 5)
+    jpg = bytearray(good)
+    # patch Compression (tag 259) value to 7 (JPEG-in-TIFF, out of scope)
+    idx = jpg.find(struct.pack("<HH", 259, 3))
+    jpg[idx + 8 : idx + 10] = struct.pack("<H", 7)
     with pytest.raises(ValueError):
-        decode_gray_tiff(bytes(lzw))
+        decode_gray_tiff(bytes(jpg))
+
+
+@pytest.mark.parametrize("comp", [1, 5, 32773], ids=["none", "lzw", "packbits"])
+@pytest.mark.parametrize("bits", [8, 16])
+def test_variant_round_trip_lossless(comp, bits):
+    """Round 4 decode-scope widening: LZW (TIFF 6.0 §13 early change),
+    PackBits and 16-bit samples all round-trip losslessly (16-bit writes
+    v*257, decode takes the high byte — exact inverse)."""
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (77, 41), dtype=np.uint8)
+    buf = encode_gray_tiff(img, dpi=200, compression=comp, bits=bits)
+    assert np.array_equal(decode_gray_tiff(buf), img)
+    assert tiff_dpi(buf) == 200.0
+
+
+def test_lzw_compresses_rendered_text():
+    from ms_ocr_spark.extraction.ocr.glyphs import render_text
+
+    img = render_text("HELLO WORLD COMPRESS")
+    assert len(encode_gray_tiff(img, compression=5)) < len(encode_gray_tiff(img)) / 4
 
 
 def test_tiff_tier_ocr_exact():
@@ -93,7 +113,7 @@ def test_tiff_tier_ocr_exact():
     truth text through the full kernel."""
     from ms_ocr_spark.sources.datagen import gen_corpus
 
-    _, media, _, meta = gen_corpus(
+    _, media, _, meta, _ = gen_corpus(
         16, seed=48, jpeg_pct=0.3, tiff_pct=0.45, processes=1
     )
     formats = {m["media_ref"]: m["format"] for m in meta.to_pylist()}
