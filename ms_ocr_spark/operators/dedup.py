@@ -244,6 +244,61 @@ def jaccard_verify(
     return out
 
 
+def duplicate_passage_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-passage spans: token ranges covered by a
+    k-token gram that appears in >= `min_docs` distinct documents.
+
+    Set-based approximation of suffix-array substring dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better", ACL'22):
+    a repeated substring of length >= k tokens is exactly a maximal run
+    of repeated k-grams, so flagged gram START POSITIONS merged with the
+    interval-merge operator ([pos, pos+k) windows, overlap/adjacency
+    collapsed) reconstruct the repeated passages without any suffix
+    array.  No reference counterpart (training-data mandate).
+
+    Plan shape (100 TB): one positional explode (pos kept from
+    posexplode — NO per-doc sort window), one groupBy on the gram hash
+    (map-side combinable count-distinct via the two-level agg Spark
+    plans), one equi-join of positions against the (small) duplicated-
+    gram set, then the W2 interval merge per doc.  Everything JVM-side.
+
+    Output: (id_col, start_tok, end_tok, n_grams) — token offsets are
+    0-based, end exclusive.
+    """
+    toks = df.select(id_col, tokens_col(text_col).alias("t"))
+    full = F.transform(
+        "t",
+        lambda x, i: F.concat_ws(
+            " ", x, *[F.get("t", i + j) for j in range(1, k)]
+        ),
+    )
+    sliced = F.slice(full, F.lit(1), F.greatest(F.size("t") - (k - 1), F.lit(0)))
+    grams = toks.select(id_col, F.posexplode(sliced).alias("pos", "gram"))
+    gh = grams.select(id_col, "pos", md5_long(F.col("gram")).alias("gh"))
+    dup = (
+        gh.groupBy("gh")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gh")
+    )
+    flagged = gh.join(dup, "gh").select(
+        id_col,
+        F.col("pos").cast("long").alias("start_tok"),
+        (F.col("pos") + F.lit(k)).cast("long").alias("end_tok"),
+    )
+    from .windows import merge_intervals
+
+    return merge_intervals(flagged, [id_col], "start_tok", "end_tok").select(
+        id_col, "start_tok", "end_tok", F.col("n_merged").alias("n_grams")
+    )
+
+
 def simhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -16,10 +16,10 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ms_ocr_spark.functions.hashing import plane_weights
+from ms_ocr_spark.functions.hashing import md5_long, plane_weights
 from ms_ocr_spark.plans.cache import track
 
 from .windows import top_k_per_group
@@ -291,6 +291,88 @@ def lsh_topk_multitable(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    q_vecs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c_vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        cand.join(q_vecs, "query_id")
+        .join(c_vecs, "neighbor_id")
+        .withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+    )
+    return top_k_per_group(
+        scored.select("query_id", "neighbor_id", "sim"),
+        ["query_id"],
+        [F.col("sim").desc(), F.col("neighbor_id").asc()],
+        k,
+    )
+
+
+def ivf_cell_assignments(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    top_cells: int,
+) -> DataFrame:
+    """(id, cell) for the `top_cells` nearest centroids by dot product
+    (ties broken by cell id).  Centroids are broadcast — the inverted-
+    file coarse quantizer is tiny by construction."""
+    scored = vectors.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col("cell"),
+        dot(F.col(vec_col), F.col("cent_vec")).alias("d"),
+    )
+    return top_k_per_group(
+        scored, [id_col], [F.col("d").desc(), F.col("cell").asc()], top_cells
+    ).select(id_col, "cell")
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-flat approximate top-k: corpus vectors are assigned to the
+    nearest of `n_cells` centroids (inverted file); a query scores only
+    the vectors in its `nprobe` nearest cells.
+
+    Deterministic variant: centroids are the `n_cells` corpus vectors
+    with the smallest md5('ivf:'||id) — a seeded sample standing in for
+    k-means training (which is engine-nondeterministic), so the DuckDB
+    oracle assigns the exact same cells.  Recall grows with nprobe while
+    each search stays one broadcast quantizer pass + one cell equi-join —
+    the classic IVF scale shape (Johnson et al., "Billion-scale
+    similarity search with GPUs", the FAISS IVF-flat design).
+    """
+    seeded = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        md5_long(F.concat(F.lit("ivf:"), F.col(id_col).cast("string"))).alias("h"),
+    )
+    cents = (
+        seeded.orderBy("h", id_col)
+        .limit(n_cells)
+        .withColumn(
+            "cell",
+            (F.row_number().over(Window.orderBy("h", id_col)) - 1).cast("int"),
+        )
+        .select("cell", F.col(vec_col).alias("cent_vec"))
+    )
+    c_cells = ivf_cell_assignments(corpus, cents, id_col, vec_col, 1)
+    q_cells = ivf_cell_assignments(queries, cents, id_col, vec_col, nprobe)
+    cand = (
+        q_cells.withColumnRenamed(id_col, "query_id")
+        .join(c_cells.withColumnRenamed(id_col, "neighbor_id"), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
     )
     q_vecs = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")

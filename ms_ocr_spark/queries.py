@@ -775,6 +775,43 @@ def dedup_keepers_cc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PASSAGE_K = 8
+_PASSAGE_GRAM = " || ' ' || ".join(f"t[i+{j}]" for j in range(_PASSAGE_K))
+
+
+@_register(
+    "passage_dedup_spans",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    grams AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, {_PASSAGE_GRAM} AS gram
+              FROM toks, unnest(range(1, greatest(len(t) - {_PASSAGE_K - 2}, 1))) u(i)),
+    gh AS (SELECT doc_id, pos, {md5_long_sql('gram')} AS gh FROM grams),
+    dup AS (SELECT gh FROM gh GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
+    flagged AS (SELECT doc_id, pos AS s, pos + {_PASSAGE_K} AS e
+                FROM gh JOIN dup USING (gh)),
+    f2 AS (SELECT doc_id, s, e,
+           CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                 OR s <= max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                THEN 0 ELSE 1 END AS is_new
+           FROM flagged),
+    grp AS (SELECT doc_id, s, e, SUM(is_new) OVER (PARTITION BY doc_id ORDER BY s, e
+            ROWS UNBOUNDED PRECEDING) AS g FROM f2)
+    SELECT doc_id, MIN(s) AS start_tok, MAX(e) AS end_tok, COUNT(*) AS n_grams
+    FROM grp GROUP BY doc_id, g
+    """,
+)
+def passage_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-passage detection (suffix-array substring
+    dedup approximated by repeated k-gram runs, Lee et al. ACL'22): token
+    spans covered by an 8-gram appearing in >= 2 distinct documents,
+    interval-merged per doc."""
+    return dedup.duplicate_passage_spans(
+        _t(spark, sf_dir, "documents"), k=_PASSAGE_K, min_docs=2
+    )
+
+
 def _simhash_sql(bits: int = 16) -> str:
     h = md5_long_sql("tok")
     bit_sums = ", ".join(
@@ -914,6 +951,56 @@ def ann_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") % 100 == 0)
     return similarity.lsh_topk_multitable(q, emb, n_tables=_N_LSH_TABLES)
+
+
+_IVF_CELLS, _IVF_NPROBE = 16, 2
+_IVF_H = md5_long_sql("concat('ivf:', CAST(vec_id AS VARCHAR))")
+_IVF_DOT = _DOT_SQL.format(a="s.embedding", b="c.cent_vec")
+
+
+@_register(
+    "ann_ivf_topk",
+    f"""
+    WITH cents0 AS (
+      SELECT vec_id, embedding, {_IVF_H} AS h FROM embeddings
+      ORDER BY h, vec_id LIMIT {_IVF_CELLS}),
+    cents AS (
+      SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS cell,
+             embedding AS cent_vec
+      FROM cents0),
+    scored_cells AS (
+      SELECT s.vec_id, c.cell,
+             row_number() OVER (PARTITION BY s.vec_id
+               ORDER BY {_IVF_DOT} DESC, c.cell) AS crn
+      FROM embeddings s, cents c),
+    assign AS (SELECT vec_id, cell FROM scored_cells WHERE crn = 1),
+    qcells AS (SELECT vec_id AS query_id, cell FROM scored_cells
+               WHERE crn <= {_IVF_NPROBE} AND vec_id % 100 = 0),
+    cand AS (
+      SELECT q.query_id, a.vec_id AS neighbor_id
+      FROM qcells q JOIN assign a USING (cell)
+      WHERE q.query_id != a.vec_id),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             {_cosine_sql("qe.embedding", "ne.embedding")} AS sim
+      FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
+                JOIN embeddings ne ON ne.vec_id = cand.neighbor_id),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY sim DESC, neighbor_id) AS rn FROM scored)
+    SELECT query_id, neighbor_id, sim, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN (FAISS-style inverted file, deterministic seeded
+    centroids): corpus assigned to its nearest of 16 cells, queries probe
+    their 2 nearest cells — the third ANN family next to brute force and
+    LSH (coarse-quantizer partition pruning vs hyperplane bucketing)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    return similarity.ivf_topk(
+        q, emb, k=5, n_cells=_IVF_CELLS, nprobe=_IVF_NPROBE
+    )
 
 
 @_register(

@@ -248,6 +248,57 @@ def test_component_labels_long_path_converges_fast(spark):
     assert labels.count() == n
 
 
+def test_duplicate_passage_spans_finds_planted_passage(spark):
+    """Round 4 (Lee et al. ACL'22 analog): a 12-token passage shared by
+    two docs must come back as ONE merged span per doc covering exactly
+    the repeated run; unique text must produce no spans."""
+    from ms_ocr_spark.operators.dedup import duplicate_passage_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    rows = [
+        ("d1", f"unique one prefix {shared} unique one suffix tail"),
+        ("d2", f"{shared} totally different ending here indeed"),
+        ("d3", "no repeated content at all in this document body text"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {
+        r["doc_id"]: (r["start_tok"], r["end_tok"], r["n_grams"])
+        for r in duplicate_passage_spans(docs, k=8, min_docs=2).collect()
+    }
+    # d1: shared run is tokens 3..15 (12 tokens -> 5 overlapping 8-grams)
+    assert out["d1"] == (3, 15, 5)
+    # d2: tokens 0..12
+    assert out["d2"] == (0, 12, 5)
+    assert "d3" not in out
+
+
+def test_ivf_topk_matches_brute_force_on_probed_cells(spark):
+    """IVF with nprobe == n_cells degenerates to exact search: its top-k
+    must equal brute force (same cosine, same tie-breaks).  With a small
+    nprobe it must return a subset of cells' candidates only."""
+    import numpy as np
+
+    from ms_ocr_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(17)
+    vecs = [
+        (i, [float(v) for v in rng.normal(0, 1, 64)]) for i in range(120)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") % 40 == 0)
+    exact = {
+        (r["query_id"], r["rn"]): r["neighbor_id"]
+        for r in brute_force_topk(q, df, k=3).collect()
+    }
+    full = {
+        (r["query_id"], r["rn"]): r["neighbor_id"]
+        for r in ivf_topk(q, df, k=3, n_cells=8, nprobe=8).collect()
+    }
+    assert full == exact
+    probed = ivf_topk(q, df, k=3, n_cells=8, nprobe=2).collect()
+    assert 0 < len(probed) <= len(exact)
+
+
 def test_component_labels_single_upstream_materialization(spark):
     """VERDICT r3 'wrong' #3: the distributed path must not run the
     upstream pipeline twice (once for the size probe, once for the
