@@ -280,7 +280,10 @@ def duplicate_passage_spans(
     )
     sliced = F.slice(full, F.lit(1), F.greatest(F.size("t") - (k - 1), F.lit(0)))
     grams = toks.select(id_col, F.posexplode(sliced).alias("pos", "gram"))
-    gh = grams.select(id_col, "pos", md5_long(F.col("gram")).alias("gh"))
+    # persist: the duplicated-gram aggregate AND the position join both
+    # read this relation — without the cache the tokenize+gram+hash
+    # subtree runs twice over the full corpus
+    gh = track(grams.select(id_col, "pos", md5_long(F.col("gram")).alias("gh")))
     dup = (
         gh.groupBy("gh")
         .agg(F.countDistinct(id_col).alias("nd"))
