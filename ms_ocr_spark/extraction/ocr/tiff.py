@@ -386,6 +386,54 @@ def decode_gray_tiff(data: bytes) -> np.ndarray:
     return img
 
 
+_T_TILE_WIDTH = 322
+
+
+def encode_tiled_tiff_stub(h: int = 32, w: int = 64) -> bytes:
+    """Minimal syntactically-valid TILED-TIFF header (no tile data).
+    Telemetry fixture only: sniffs as tiff, trips `tiff_scope_reason`
+    ('tiled'), and (by design) fails `decode_gray_tiff` — the shape a
+    real tiled scanner TIFF takes in this engine."""
+    tags = [
+        (_T_WIDTH, 4, 1, w),
+        (_T_HEIGHT, 4, 1, h),
+        (_T_BITS, 3, 1, 8),
+        (_T_COMPRESSION, 3, 1, 1),
+        (_T_PHOTOMETRIC, 3, 1, 1),
+        (_T_TILE_WIDTH, 4, 1, 16),
+    ]
+    ifd = [struct.pack("<H", len(tags))]
+    for tag, typ, count, value in sorted(tags):
+        ifd.append(struct.pack("<HHII", tag, typ, count, value))
+    ifd.append(struct.pack("<I", 0))
+    return struct.pack("<2sHI", b"II", 42, 8) + b"".join(ifd)
+
+
+def tiff_scope_reason(data: bytes) -> str | None:
+    """None when the file is inside this codec's decode scope, else a
+    short reason string — a HEADER-ONLY probe (IFD tags, no pixel work)
+    for quarantine telemetry, the TIFF analog of
+    `jpeg.is_progressive_jpeg`.  Malformed structure returns None (the
+    admission/decode path reports that as plain `invalid`)."""
+    try:
+        tags, _ = _parse(data)
+    except (ValueError, struct.error, IndexError):
+        return None
+    if _T_TILE_WIDTH in tags:
+        return "tiled"
+    bits = tags.get(_T_BITS, [1])[0]
+    samples = tags.get(_T_SAMPLES, [1])[0]
+    compression = tags.get(_T_COMPRESSION, [1])[0]
+    photometric = tags.get(_T_PHOTOMETRIC, [1])[0]
+    if bits not in (8, 16) or samples != 1:
+        return f"sample_layout_{bits}bit_x{samples}"
+    if compression not in (1, 5, 32773):
+        return f"compression_{compression}"
+    if photometric not in (0, 1):
+        return f"photometric_{photometric}"
+    return None
+
+
 def tiff_dpi(data: bytes) -> float | None:
     """X-resolution in dots/inch when present with inch units, else None
     (metadata side-channel parity with `jpeg.jfif_density`)."""

@@ -256,6 +256,20 @@ def _progressive_jpeg_flag(payload: pd.Series) -> pd.Series:
     )
 
 
+@F.pandas_udf(T.BooleanType())
+def _tiff_out_of_scope_flag(payload: pd.Series) -> pd.Series:
+    """Arrow-batched TIFF header-scope probe (IFD tags only, no pixels)."""
+    from ms_ocr_spark.extraction.ocr.tiff import tiff_scope_reason
+
+    return pd.Series(
+        [
+            (tiff_scope_reason(bytes(b)) is not None) if b is not None else None
+            for b in payload
+        ],
+        dtype=object,
+    )
+
+
 def quarantine_invalid_media(docs: DataFrame, media: DataFrame) -> DataFrame:
     """Side output for the validation gate: media spans whose payload
     fails admission (unknown magic bytes / oversized / missing) — the
@@ -266,15 +280,20 @@ def quarantine_invalid_media(docs: DataFrame, media: DataFrame) -> DataFrame:
 
     `reason` values: `missing` (no payload row), `invalid` (magic-byte /
     size rejection), `unsupported_progressive` (valid JPEG whose frame is
-    progressive — the baseline codec quarantines it by design; the
-    distinct reason lets a corpus operator see the decode-scope cost,
-    VERDICT r3 item 7)."""
+    progressive) and `unsupported_tiff_layout` (valid TIFF outside the
+    codec's scope: tiled, multi-sample, exotic compression) — both
+    quarantined BY DESIGN by the baseline codecs; the distinct reasons
+    let a corpus operator see the decode-scope cost (VERDICT r3 item 7).
+    Both probes are header-only sniffs, never pixel decodes."""
     from ms_ocr_spark.operators.multimodal import mime_col, valid_payload_col
 
     flat = explode_spans(docs).filter(F.col("kind") == "media")
     joined = flat.join(media.select("media_ref", "payload"), "media_ref", "left")
     is_prog = (F.col("mime") == "jpeg") & F.coalesce(
         _progressive_jpeg_flag(F.col("payload")), F.lit(False)
+    )
+    is_bad_tiff = (F.col("mime") == "tiff") & F.coalesce(
+        _tiff_out_of_scope_flag(F.col("payload")), F.lit(False)
     )
     return (
         joined.withColumn("mime", mime_col("payload"))
@@ -283,6 +302,7 @@ def quarantine_invalid_media(docs: DataFrame, media: DataFrame) -> DataFrame:
             F.when(F.col("payload").isNull(), "missing")
             .when(~valid_payload_col("payload"), "invalid")
             .when(is_prog, "unsupported_progressive")
+            .when(is_bad_tiff, "unsupported_tiff_layout")
             .otherwise("ok"),
         )
         .filter(F.col("reason") != "ok")

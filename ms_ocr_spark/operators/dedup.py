@@ -337,6 +337,66 @@ def simhash_signatures(
     return sim
 
 
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance <= `max_hamming`,
+    found via banded bucketing (Charikar '02 / Manku et al. WWW'07
+    table-partition trick): the `bits`-bit signature splits into
+    `n_bands` bands; by pigeonhole, any pair within Hamming distance
+    < n_bands matches EXACTLY in at least one band — so the band
+    equi-join has 100% recall for max_hamming <= n_bands - 1, and the
+    exact distance check (bit_count of xor, pure integer math) prunes
+    the rest.  Never an all-pairs comparison.
+
+    Output: (id_a, id_b, hamming) with id_a < id_b.
+    """
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"banded search guarantees recall only for max_hamming <= "
+            f"{n_bands - 1} (got {max_hamming}); raise n_bands"
+        )
+    band_width = bits // n_bands
+    sig = track(simhash_signatures(df, id_col, text_col, bits))
+    bands = sig.select(
+        id_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", b * band_width).bitwiseAND(
+                        F.lit((1 << band_width) - 1)
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    a = bands.select(F.col(id_col).alias("id_a"), "band", "band_val")
+    b = bands.select(F.col(id_col).alias("id_b"), "band", "band_val")
+    cand = (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+    )
+
+
 def component_labels(
     edges: DataFrame,
     src: str = "id_a",

@@ -835,6 +835,42 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_signatures(_t(spark, sf_dir, "documents"))
 
 
+_SH_BITS, _SH_BANDS, _SH_MAXHAM = 32, 4, 3
+_SH_BW = _SH_BITS // _SH_BANDS
+
+
+@_register(
+    "simhash_neardup_pairs",
+    f"""
+    WITH sig AS ({_simhash_sql(_SH_BITS)}),
+    bands AS (
+      SELECT doc_id, CAST(b AS INT) AS band,
+             (simhash >> ({_SH_BW} * b)) & {(1 << _SH_BW) - 1} AS band_val
+      FROM sig, unnest(range(0, {_SH_BANDS})) u(b)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+      FROM bands a JOIN bands b2
+        ON a.band = b2.band AND a.band_val = b2.band_val
+      WHERE a.doc_id < b2.doc_id)
+    SELECT c.id_a, c.id_b,
+           CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+    FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
+                JOIN sig sb ON sb.doc_id = c.id_b
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {_SH_MAXHAM}
+    """,
+)
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming <= 3 over 32-bit signatures) via
+    the Manku WWW'07 banded-table trick — pigeonhole-exact recall with a
+    band equi-join instead of all-pairs."""
+    return dedup.simhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"),
+        bits=_SH_BITS,
+        max_hamming=_SH_MAXHAM,
+        n_bands=_SH_BANDS,
+    )
+
+
 # --------------------------------------------------------------------------
 # 4. Similarity search (embeddings)
 # --------------------------------------------------------------------------
@@ -1533,8 +1569,9 @@ _REGISTRY.append(("media_image_metadata", media_image_metadata, None))
 
 def _corpus_paths_quarantine(n_docs: int = 40) -> dict[str, str]:
     """Corrupted-media corpus: ~15% garbage payloads (admission reject),
-    ~20% progressive-JPEG headers (pass admission, outside the baseline
-    codec's decode scope), remainder decodable PNG/JPEG."""
+    ~20% progressive-JPEG headers and ~10% tiled-TIFF headers (both pass
+    admission but sit outside the baseline codecs' decode scope),
+    remainder decodable PNG/JPEG."""
     import os
 
     from ms_ocr_spark.sources.datagen import write_corpus
@@ -1543,16 +1580,24 @@ def _corpus_paths_quarantine(n_docs: int = 40) -> dict[str, str]:
         os.path.dirname(os.path.dirname(__file__)), ".cache", f"corpus_quar_{n_docs}"
     )
     return write_corpus(
-        cache, n_docs=n_docs, seed=51, jpeg_pct=0.3, progressive_pct=0.2, invalid_pct=0.15
+        cache,
+        n_docs=n_docs,
+        seed=51,
+        jpeg_pct=0.3,
+        progressive_pct=0.2,
+        invalid_pct=0.15,
+        unsupported_tiff_pct=0.1,
     )
 
 
 def quarantine_media_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quarantine side output with reason telemetry: `invalid` (magic-byte
-    reject) vs `unsupported_progressive` (SOF2 frame outside the baseline
-    JPEG codec's scope — quarantined BY DESIGN, and now countable).
-    Oracle = the generator's golden_quarantine parquet (straight-line
-    derivation of the verdict per media span)."""
+    reject) vs `unsupported_progressive` (SOF2 frame) vs
+    `unsupported_tiff_layout` (tiled/exotic TIFF) — the latter two pass
+    admission but sit outside the baseline codecs' scope, quarantined BY
+    DESIGN and now countable per class.  Oracle = the generator's
+    golden_quarantine parquet (straight-line derivation of the verdict
+    per media span)."""
     from ms_ocr_spark.extraction.pipeline import quarantine_invalid_media
 
     paths = _corpus_paths_quarantine()

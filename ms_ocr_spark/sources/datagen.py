@@ -394,6 +394,7 @@ def _gen_chunk(args: tuple) -> tuple[list, list, list]:
         routed_pct,
         progressive_pct,
         invalid_pct,
+        unsupported_tiff_pct,
     ) = args
     doc_rows, media_rows, golden_rows, meta_rows, quarantine_rows = [], [], [], [], []
     n_skewed = int(n_docs * skew_doc_pct)
@@ -476,6 +477,13 @@ def _gen_chunk(args: tuple) -> tuple[list, list, list]:
                     and progressive_pct > 0
                     and _h(seed, "isprog", i, off) % 1000 < progressive_pct * 1000
                 )
+                is_unsup_tiff = (
+                    not is_invalid
+                    and not is_prog
+                    and unsupported_tiff_pct > 0
+                    and _h(seed, "isutiff", i, off) % 1000
+                    < unsupported_tiff_pct * 1000
+                )
                 is_jpeg = (
                     jpeg_pct > 0
                     and _h(seed, "isjpeg", i, off) % 1000 < jpeg_pct * 1000
@@ -491,9 +499,12 @@ def _gen_chunk(args: tuple) -> tuple[list, list, list]:
                     and rgb_pct > 0
                     and _h(seed, "isrgb", i, off) % 1000 < rgb_pct * 1000
                 )
-                if is_invalid or is_prog:
+                if is_invalid or is_prog or is_unsup_tiff:
                     from ms_ocr_spark.extraction.ocr.jpeg import (
                         encode_progressive_stub,
+                    )
+                    from ms_ocr_spark.extraction.ocr.tiff import (
+                        encode_tiled_tiff_stub,
                     )
 
                     if is_invalid:
@@ -502,6 +513,11 @@ def _gen_chunk(args: tuple) -> tuple[list, list, list]:
                             + hashlib.md5(f"inv:{ref}".encode()).digest() * 3
                         )
                         fmt, reason = "unknown", "invalid"
+                    elif is_unsup_tiff:
+                        payload = encode_tiled_tiff_stub(
+                            int(img.shape[0]), int(img.shape[1])
+                        )
+                        fmt, reason = "tiff", "unsupported_tiff_layout"
                     else:
                         payload = encode_progressive_stub(
                             int(img.shape[0]), int(img.shape[1])
@@ -599,7 +615,9 @@ def _gen_chunk(args: tuple) -> tuple[list, list, list]:
                     {
                         "kind": "media",
                         # undecodable payloads quarantine -> null text
-                        "text": None if (is_invalid or is_prog) else truth,
+                        "text": None
+                        if (is_invalid or is_prog or is_unsup_tiff)
+                        else truth,
                         "media_ref": ref,
                         "offset": off,
                     }
@@ -626,6 +644,7 @@ def gen_corpus(
     routed_pct: float = 0.0,
     progressive_pct: float = 0.0,
     invalid_pct: float = 0.0,
+    unsupported_tiff_pct: float = 0.0,
     processes: int | None = None,
 ) -> tuple[pa.Table, pa.Table, pa.Table, pa.Table, pa.Table]:
     """Build (documents, media_store, golden_spans) arrow tables.
@@ -657,6 +676,7 @@ def gen_corpus(
                 routed_pct,
                 progressive_pct,
                 invalid_pct,
+                unsupported_tiff_pct,
             )
         )
     if processes > 1:

@@ -272,6 +272,43 @@ def test_duplicate_passage_spans_finds_planted_passage(spark):
     assert "d3" not in out
 
 
+def test_simhash_near_dup_pairs_banded_equals_all_pairs(spark):
+    """The banded candidate search must find EXACTLY the pairs an
+    all-pairs Hamming scan finds (pigeonhole guarantee for
+    max_hamming <= n_bands - 1), and the guard must refuse parameter
+    combos that break the guarantee."""
+    from ms_ocr_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+        simhash_signatures,
+    )
+
+    rows = []
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    for i in range(30):
+        rows.append((f"d{i:02d}", base + f"tail{i} " + f"unique{i * 7}"))
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_dup_pairs(docs, bits=32, max_hamming=3).collect()
+    }
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_signatures(docs, bits=32).collect()
+    }
+    ids = sorted(sigs)
+    want = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    assert got == want and want  # non-trivial: near-identical docs pair up
+
+    with pytest.raises(ValueError, match="n_bands"):
+        simhash_near_dup_pairs(docs, max_hamming=4, n_bands=4)
+
+
 def test_ivf_topk_matches_brute_force_on_probed_cells(spark):
     """IVF with nprobe == n_cells degenerates to exact search: its top-k
     must equal brute force (same cosine, same tie-breaks).  With a small

@@ -227,6 +227,7 @@ def test_quarantine_tier_golden_and_reasons(spark, tmp_path):
         jpeg_pct=0.3,
         progressive_pct=0.25,
         invalid_pct=0.2,
+        unsupported_tiff_pct=0.15,
     )
     docs = spark.read.parquet(paths["documents"])
     media = spark.read.parquet(paths["media_store"])
@@ -236,7 +237,7 @@ def test_quarantine_tier_golden_and_reasons(spark, tmp_path):
     q = quarantine_invalid_media(docs, media)
     gq = spark.read.parquet(paths["golden_quarantine"])
     reasons = {r["reason"] for r in gq.select("reason").distinct().collect()}
-    assert reasons == {"invalid", "unsupported_progressive"}
+    assert reasons == {"invalid", "unsupported_progressive", "unsupported_tiff_layout"}
     cols = ["doc_id", "offset", "media_ref", "mime", "n_bytes", "reason"]
     assert q.count() == gq.count()
     assert gq.select(*cols).exceptAll(q.select(*cols)).count() == 0

@@ -147,6 +147,29 @@ def test_multitable_ann_explodes_ids_only(spark):
         assert "vec" not in line, line
 
 
+def test_ivf_quantizer_is_broadcast_and_jvm_only(spark):
+    """The IVF coarse quantizer (16 centroids) must reach every vector as
+    a broadcast (nested-loop over a tiny build side), with zero Python in
+    the plan — the assignment is pure fold arithmetic."""
+    from ms_ocr_spark.queries import ann_ivf_topk
+
+    plan = _plan(ann_ivf_topk(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_passage_dedup_reads_cached_gram_relation(spark):
+    """The duplicated-gram aggregate and the position join both consume
+    the gram-hash relation from cache — the tokenize+gram+hash subtree
+    must not run twice over the corpus."""
+    from ms_ocr_spark.queries import passage_dedup_spans
+
+    spark.catalog.clearCache()
+    plan = _plan(passage_dedup_spans(spark, "/root/testdata/sf0.001"))
+    assert plan.count("InMemoryTableScan") >= 2
+    assert "EvalPython" not in plan  # fully JVM
+
+
 def test_bucketed_join_has_no_shuffle(spark, corpus_dir):
     """Two tables bucketed on the join key join with ZERO exchanges —
     the co-location recipe for the recurring media_ref join at 100 TB."""

@@ -74,6 +74,47 @@ def test_ocr_render_decode_inverse(words):
     assert decode_image(decode_gray(encode_gray(render_text(text)))) == text
 
 
+@given(st.binary(min_size=0, max_size=4000))
+@settings(max_examples=60, deadline=None)
+def test_lzw_round_trip_arbitrary_bytes(data):
+    """TIFF LZW (early-change, table reset) is the identity through a
+    compress/decompress round trip for arbitrary byte strings."""
+    from ms_ocr_spark.extraction.ocr.tiff import _lzw_compress, _lzw_decompress
+
+    assert _lzw_decompress(_lzw_compress(data), len(data)) == data
+
+
+@given(st.binary(min_size=0, max_size=4000))
+@settings(max_examples=60, deadline=None)
+def test_packbits_round_trip_arbitrary_bytes(data):
+    from ms_ocr_spark.extraction.ocr.tiff import _packbits, _unpackbits
+
+    assert _unpackbits(_packbits(data), len(data)) == data
+
+
+@given(
+    st.binary(min_size=1, max_size=800),
+    st.sampled_from([1, 5, 32773]),
+    st.sampled_from([8, 16]),
+)
+@settings(max_examples=40, deadline=None)
+def test_tiff_encode_decode_inverse(raw, comp, bits):
+    """decode ∘ encode == identity for every compression/bit-depth
+    variant over arbitrary pixel content and shapes."""
+    import numpy as np
+
+    from ms_ocr_spark.extraction.ocr.tiff import decode_gray_tiff, encode_gray_tiff
+
+    n = len(raw)
+    w = max(1, min(n, 37))
+    h = n // w
+    if h == 0:
+        return
+    img = np.frombuffer(raw[: h * w], dtype=np.uint8).reshape(h, w)
+    out = decode_gray_tiff(encode_gray_tiff(img, compression=comp, bits=bits))
+    assert np.array_equal(out, img)
+
+
 @given(st.text(min_size=0, max_size=200))
 @settings(max_examples=50, deadline=None)
 def test_arc90_total_on_arbitrary_strings(s):
