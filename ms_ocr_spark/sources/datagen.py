@@ -1,10 +1,12 @@
 """Deterministic synthetic interleaved-document corpus (FIXTURES.md).
 
-Generates the three fixture tables as parquet (pyarrow, no Spark needed):
+Generates the fixture tables as parquet (pyarrow, no Spark needed):
 
-  documents   (doc_id string, spans array<struct<kind,text,media_ref,offset>>)
-  media_store (media_ref string, payload binary PNG, truth_text string)
-  golden_spans(doc_id string, spans array<struct<kind,text,media_ref,offset>>)
+  documents         (doc_id string, spans array<struct<kind,text,media_ref,offset>>[, language])
+  media_store       (media_ref string, payload binary, truth_text string)
+  golden_spans      (doc_id string, spans array<struct<...>>)
+  golden_media_meta (decode-independent metadata golden)
+  golden_quarantine (admission/decode-scope verdicts per media span)
 
 Everything is keyed off md5 of (seed, key) — stable across processes
 (Python's builtin hash is salted, so it is never used).  The schema is the
@@ -375,7 +377,7 @@ def _spans_for_doc(seed: int, doc_i: int, span_mult: int = 1) -> list[dict]:
     return spans
 
 
-def _gen_chunk(args: tuple) -> tuple[list, list, list]:
+def _gen_chunk(args: tuple) -> tuple[list, list, list, list, list]:
     """Generate one contiguous doc range (deterministic per doc index, so
     chunking never changes the corpus)."""
     (
@@ -647,7 +649,8 @@ def gen_corpus(
     unsupported_tiff_pct: float = 0.0,
     processes: int | None = None,
 ) -> tuple[pa.Table, pa.Table, pa.Table, pa.Table, pa.Table]:
-    """Build (documents, media_store, golden_spans) arrow tables.
+    """Build (documents, media_store, golden_spans, golden_media_meta,
+    golden_quarantine) arrow tables.
 
     skew_doc_pct > 0 gives that fraction of docs `skew_mult`x the span count
     (FIXTURES.md bench tier: exercises salted repartitioning / AQE skew).
