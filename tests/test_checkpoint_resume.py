@@ -311,3 +311,52 @@ def test_checkpoint_job_routes_language_column(spark, tmp_path):
     r = result.select("doc_id", F.to_json("spans").alias("js"))
     g = golden.select("doc_id", F.to_json("spans").alias("js"))
     assert g.join(r, ["doc_id", "js"]).count() == golden.count()
+
+
+def test_checkpoint_resume_composed_round4_tiers(spark, tmp_path):
+    """Crash-and-resume over a corpus composing EVERY round-4 tier
+    (katakana routing, RGB, JPEG, TIFF variants, progressive + garbage
+    payloads): resume is exactly-once, output matches golden (quarantined
+    media -> null text), and lineage counts the quarantined media."""
+    from ms_ocr_spark.sources.datagen import write_corpus
+
+    paths = write_corpus(
+        str(tmp_path / "r4"),
+        n_docs=24,
+        seed=31,
+        routed_pct=0.3,
+        rgb_pct=0.2,
+        jpeg_pct=0.2,
+        tiff_pct=0.2,
+        progressive_pct=0.1,
+        invalid_pct=0.1,
+    )
+    docs = spark.read.parquet(paths["documents"])
+    media = spark.read.parquet(paths["media_store"])
+    golden = spark.read.parquet(paths["golden_spans"])
+    out = str(tmp_path / "r4_out")
+
+    first = cp.run_with_checkpoints(
+        spark, docs, media, out, job_id="r4", n_buckets=6, max_buckets=2
+    )
+    assert len(first) == 2
+    second = cp.run_with_checkpoints(spark, docs, media, out, job_id="r4", n_buckets=6)
+    assert sorted(first + second) == list(range(6))
+
+    result = cp.read_output(spark, out)
+    r = result.select("doc_id", F.to_json("spans").alias("js"))
+    g = golden.select("doc_id", F.to_json("spans").alias("js"))
+    assert g.join(r, ["doc_id", "js"]).count() == golden.count()
+
+    n_quarantined = golden.select(
+        F.sum(
+            F.size(
+                F.filter(
+                    "spans", lambda s: (s["kind"] == "media") & s["text"].isNull()
+                )
+            )
+        )
+    ).collect()[0][0]
+    assert n_quarantined > 0, "composed corpus should contain quarantined media"
+    met = cp.extraction_metrics(spark, out).collect()[0]
+    assert met["n_media_missing"] == n_quarantined
