@@ -100,6 +100,84 @@ def token_count(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def gopher_quality_flags(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style document quality gates (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", §A1.1.1 heuristics), the flag layer a
+    training-data pipeline filters on:
+
+      * 50 <= word count <= 100,000
+      * 3 <= mean word length <= 10
+      * symbol-to-word ratio (# and ellipsis) <= 0.1
+      * >= 80% of words contain at least one alphabetic character
+
+    All integer-count arithmetic until the final divisions, so every
+    ratio (and therefore every flag) is bit-identical cross-engine.
+    """
+    toks = tokens_col(text_col)
+    n_words = F.size(toks).cast("long")
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    mean_wl = F.when(n_words > 0, sum_len / n_words).otherwise(F.lit(0.0))
+    n_hash = F.length(text_col) - F.length(
+        F.regexp_replace(F.col(text_col), "#", "")
+    )
+    n_ellipsis = (
+        F.length(text_col)
+        - F.length(F.regexp_replace(F.col(text_col), "\\.\\.\\.", ""))
+    ) / 3
+    sym_ratio = F.when(n_words > 0, (n_hash + n_ellipsis) / n_words).otherwise(
+        F.lit(0.0)
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("long")
+    alpha_frac = F.when(n_words > 0, n_alpha / n_words).otherwise(F.lit(0.0))
+    passes = (
+        (n_words >= 50)
+        & (n_words <= 100_000)
+        & (mean_wl >= 3)
+        & (mean_wl <= 10)
+        & (sym_ratio <= 0.1)
+        & (alpha_frac >= 0.8)
+    )
+    return df.select(
+        id_col,
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(sym_ratio, 6).alias("symbol_ratio"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        passes.alias("passes_gopher"),
+    )
+
+
+# GPT-2-style pre-tokenizer alternation (ASCII-scoped so the Java-regex
+# Spark side and the RE2 DuckDB oracle match EXACTLY — verified on the
+# corpus and adversarial strings; unicode classes are where the engines'
+# regex flavors diverge, so they are deliberately excluded):
+#   contraction | ?letters | ?digits | ?punct-run | whitespace-run
+BPE_PATTERN = "'[a-z]+| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+"
+
+
+def bpe_token_count(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Pre-tokenizer token counts (the 'BPE-ish regex' counting tier):
+    every position falls into exactly one match of `BPE_PATTERN` (the
+    GPT-2 pre-tokenizer shape: contractions, space-prefixed word/number/
+    punctuation runs, residual whitespace runs); `n_bpe_tokens` counts
+    the non-whitespace matches — the unit sequence a byte-pair encoder
+    would then merge within.  Pure JVM regexp, codegen'd."""
+    arr = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), F.lit(0))
+    return df.select(
+        id_col,
+        F.size(F.filter(arr, lambda t: F.trim(t) != "")).cast("long").alias(
+            "n_bpe_tokens"
+        ),
+        F.size(arr).cast("long").alias("n_matches"),
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Whitespace-normalized md5 content fingerprint (+ 60-bit int form)."""
     norm = F.trim(F.regexp_replace(F.col(text_col), "\\s+", " "))

@@ -1151,6 +1151,63 @@ def token_count_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "gopher_quality_docs",
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(len({_TOKS_SQL}) AS BIGINT) AS n_words,
+             list_reduce(list_prepend(0, list_transform({_TOKS_SQL}, t -> length(t))),
+                         (a, x) -> a + x) AS sum_len,
+             length(text) - length(regexp_replace(text, '#', '', 'g')) AS n_hash,
+             (length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3 AS n_ellipsis,
+             CAST(len(list_filter({_TOKS_SQL}, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS n_alpha
+      FROM documents),
+    r AS (
+      SELECT doc_id, n_words,
+             CASE WHEN n_words > 0 THEN sum_len * 1.0 / n_words ELSE 0.0 END AS mean_wl,
+             CASE WHEN n_words > 0 THEN (n_hash + n_ellipsis) * 1.0 / n_words ELSE 0.0 END AS sym_ratio,
+             CASE WHEN n_words > 0 THEN n_alpha * 1.0 / n_words ELSE 0.0 END AS alpha_frac
+      FROM f)
+    SELECT doc_id, n_words,
+           ROUND(mean_wl, 6) AS mean_word_len,
+           ROUND(sym_ratio, 6) AS symbol_ratio,
+           ROUND(alpha_frac, 6) AS alpha_word_frac,
+           (n_words >= 50 AND n_words <= 100000
+            AND mean_wl >= 3 AND mean_wl <= 10
+            AND sym_ratio <= 0.1 AND alpha_frac >= 0.8) AS passes_gopher
+    FROM r
+    """,
+)
+def gopher_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gates (Rae et al. 2021 §A1.1.1): the flag
+    layer a 100-TB training-data pipeline filters on, integer-exact
+    cross-engine."""
+    return textstats.gopher_quality_flags(_t(spark, sf_dir, "documents"))
+
+
+_BPE_PAT_DUCK = textstats.BPE_PATTERN.replace("'", "''")
+
+
+@_register(
+    "bpe_token_count_docs",
+    f"""
+    WITH m AS (SELECT doc_id,
+                      regexp_extract_all(text, '{_BPE_PAT_DUCK}', 0) AS arr
+               FROM documents)
+    SELECT doc_id,
+           CAST(len(list_filter(arr, t -> trim(t) != '')) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(arr) AS BIGINT) AS n_matches
+    FROM m
+    """,
+)
+def bpe_token_count_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-2-style pre-tokenizer counts (the training-data mandate's
+    'BPE-ish regex' tier) — exact cross-engine regex parity on the
+    ASCII-scoped alternation."""
+    return textstats.bpe_token_count(_t(spark, sf_dir, "documents"))
+
+
 _NORM_TEXT_SQL = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
 _FP_INT_SQL = md5_long_sql(_NORM_TEXT_SQL)
 

@@ -133,6 +133,41 @@ def test_image_metadata_tiff_branch(spark, tmp_path):
     assert golden.select(*cols).exceptAll(got.select(*cols)).count() == 0
 
 
+def test_bpe_token_count_edges(spark):
+    """Pre-tokenizer counting: contractions split, punctuation runs are
+    one token, whitespace runs never count."""
+    from ms_ocr_spark.operators.textstats import bpe_token_count
+
+    df = spark.createDataFrame(
+        [("a", "don't stop!"), ("b", "  "), ("c", ""), ("d", "a1b2, c-3")],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: (r["n_bpe_tokens"], r["n_matches"]) for r in bpe_token_count(df).collect()}
+    # "don" + "'t"?  pattern: contraction is '[a-z]+ -> ["don", "'t", " stop", "!"]
+    assert out["a"] == (4, 4)
+    assert out["b"] == (0, 1)  # one whitespace run, zero tokens
+    assert out["c"] == (0, 0)
+    # "a" "1" "b" "2" "," " c" "-" "3"
+    assert out["d"] == (8, 8)
+
+
+def test_gopher_flags_gates(spark):
+    """Each Gopher gate flips the composite flag: a good doc passes, a
+    short / symbol-heavy / non-alpha doc fails."""
+    from ms_ocr_spark.operators.textstats import gopher_quality_flags
+
+    good = " ".join(["word"] * 60)
+    short = "just a few words here"
+    symbols = " ".join(["word"] * 60) + " " + "#" * 30
+    numeric = " ".join(["123"] * 60)
+    df = spark.createDataFrame(
+        [("good", good), ("short", short), ("sym", symbols), ("num", numeric)],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r["passes_gopher"] for r in gopher_quality_flags(df).collect()}
+    assert out == {"good": True, "short": False, "sym": False, "num": False}
+
+
 def test_search_match_nfkc(spark):
     df = spark.createDataFrame(
         [("ｈｅｌｌｏ ｗｏｒｌｄ",), ("plain hello",), ("nope",), (None,)],
