@@ -302,6 +302,66 @@ def duplicate_passage_spans(
     )
 
 
+def doc_repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """WITHIN-document n-gram repetition signals (the Gopher §A1.1.1 /
+    C4 repetition-removal counterpart to the cross-document
+    `duplicate_passage_spans`): per doc, how much of it is made of
+    n-grams that repeat inside the SAME doc.
+
+      * n_grams        — total (overlapping) n-gram positions
+      * n_distinct     — distinct n-grams
+      * dup_gram_frac  — fraction of positions whose gram occurs > 1x
+      * top_gram_frac  — fraction of positions taken by the most
+                         frequent gram (ties: lexicographically first)
+
+    One explode + one per-(doc, gram) count + one per-doc aggregate —
+    all map-side-combinable, no joins, no Python.
+    """
+    toks = df.select(id_col, tokens_col(text_col).alias("t"))
+    full = F.transform(
+        "t",
+        lambda x, i: F.concat_ws(
+            " ", x, *[F.get("t", i + k) for k in range(1, n)]
+        ),
+    )
+    sliced = F.slice(full, F.lit(1), F.greatest(F.size("t") - (n - 1), F.lit(0)))
+    grams = toks.select(id_col, F.explode(sliced).alias("gram"))
+    per_gram = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    agg = per_gram.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_grams"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_dup_positions"),
+        F.max(F.struct(F.col("c"), F.col("gram"))).alias("_top"),
+    )
+    # top gram by count with DETERMINISTIC tie-break: max over struct(c,
+    # gram) picks the lexicographically LARGEST gram among ties — mirror
+    # that exact rule in the oracle
+    return agg.select(
+        id_col,
+        "n_grams",
+        "n_distinct",
+        F.round(
+            F.when(
+                F.col("n_grams") > 0, F.col("n_dup_positions") / F.col("n_grams")
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_gram_frac"),
+        F.round(
+            F.when(
+                F.col("n_grams") > 0, F.col("_top.c") / F.col("n_grams")
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("top_gram_frac"),
+    )
+
+
 def simhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -775,6 +775,39 @@ def dedup_keepers_cc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REP_N = 2
+_REP_GRAM = " || ' ' || ".join(f"t[i+{j}]" for j in range(_REP_N))
+
+
+@_register(
+    "doc_repetition_stats",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    grams AS (SELECT doc_id, {_REP_GRAM} AS gram
+              FROM toks, unnest(range(1, greatest(len(t) - {_REP_N - 2}, 1))) u(i)),
+    pg AS (SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, gram),
+    top AS (SELECT doc_id, c AS top_c FROM (
+              SELECT doc_id, c,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY c DESC, gram DESC) AS rn
+              FROM pg) WHERE rn = 1),
+    agg AS (SELECT doc_id, SUM(c) AS n_grams, COUNT(*) AS n_distinct,
+                   SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS n_dup
+            FROM pg GROUP BY doc_id)
+    SELECT a.doc_id,
+           CAST(a.n_grams AS BIGINT) AS n_grams,
+           CAST(a.n_distinct AS BIGINT) AS n_distinct,
+           ROUND(a.n_dup * 1.0 / a.n_grams, 6) AS dup_gram_frac,
+           ROUND(t.top_c * 1.0 / a.n_grams, 6) AS top_gram_frac
+    FROM agg a JOIN top t ON t.doc_id = a.doc_id
+    """,
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document bigram repetition signals (Gopher/C4 repetition
+    removal): duplicate-gram fraction + most-frequent-gram share."""
+    return dedup.doc_repetition_stats(_t(spark, sf_dir, "documents"), n=_REP_N)
+
+
 _PASSAGE_K = 8
 _PASSAGE_GRAM = " || ' ' || ".join(f"t[i+{j}]" for j in range(_PASSAGE_K))
 

@@ -307,6 +307,24 @@ def test_duplicate_passage_spans_finds_planted_passage(spark):
     assert "d3" not in out
 
 
+def test_doc_repetition_stats_planted(spark):
+    """A doc that is one phrase looped has dup_gram_frac ~1 and a
+    dominant top gram; a no-repeat doc scores 0."""
+    from ms_ocr_spark.operators.dedup import doc_repetition_stats
+
+    looped = "spam ham " * 10  # bigrams: 'spam ham' x10 + 'ham spam' x9
+    unique = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [("loop", looped.strip()), ("uniq", unique)], "doc_id string, text string"
+    )
+    out = {r["doc_id"]: r for r in doc_repetition_stats(df, n=2).collect()}
+    assert out["loop"]["n_grams"] == 19 and out["loop"]["n_distinct"] == 2
+    assert out["loop"]["dup_gram_frac"] == 1.0
+    assert out["loop"]["top_gram_frac"] == round(10 / 19, 6)
+    assert out["uniq"]["dup_gram_frac"] == 0.0
+    assert out["uniq"]["top_gram_frac"] == round(1 / 7, 6)
+
+
 def test_simhash_near_dup_pairs_banded_equals_all_pairs(spark):
     """The banded candidate search must find EXACTLY the pairs an
     all-pairs Hamming scan finds (pigeonhole guarantee for
