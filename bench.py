@@ -124,6 +124,13 @@ def run_headline_queries() -> tuple[dict[str, float], float]:
     qs["q1_pricing_summary"](spark, SF_DIR).write.format("noop").mode(
         "overwrite"
     ).save()
+    # ...and fork the Python workers: the first Arrow-stage query would
+    # otherwise pay ~6-10 s of interpreter fork+import across the pool
+    # and record it as ITS wall (r4 run 3: keep-first 14 s cold vs 8 s
+    # steady-state)
+    spark.range(CPUS * 2, numPartitions=CPUS).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
     for name in _headline_names():
         t0 = time.time()
         df = qs[name](spark, SF_DIR)
