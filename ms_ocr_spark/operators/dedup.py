@@ -362,6 +362,70 @@ def doc_repetition_stats(
     )
 
 
+def containment_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """(inner, outer) pairs where inner's normalized TOKEN SEQUENCE is a
+    contiguous run inside outer's (whole-document containment — the
+    C4/RefinedWeb "document wholly contained in another" dedup class
+    that Jaccard-style LSH misses: a short doc inside a long one has
+    LOW Jaccard but full containment).
+
+    Anchor join instead of all-pairs: if inner's tokens are a contiguous
+    run of outer's, inner's FIRST k-gram is necessarily one of outer's
+    k-grams — so candidates come from one equi-join of (doc, first-gram)
+    against the (doc, gram) relation, then one exact space-padded
+    `contains` verify on the normalized text.  Complete for docs with
+    >= k tokens.  Exact-duplicate texts report one direction only
+    (smaller id as inner); strict containment reports inner = the
+    shorter text.
+    """
+    norm = F.concat_ws(" ", tokens_col(text_col))
+    base = df.select(id_col, norm.alias("norm"))
+    toks = df.select(id_col, tokens_col(text_col).alias("t"))
+    full = F.transform(
+        "t",
+        lambda x, i: F.concat_ws(
+            " ", x, *[F.get("t", i + j) for j in range(1, k)]
+        ),
+    )
+    sliced = F.slice(full, F.lit(1), F.greatest(F.size("t") - (k - 1), F.lit(0)))
+    grams = toks.select(id_col, F.posexplode(sliced).alias("pos", "gram"))
+    first = grams.filter(F.col("pos") == 0).select(
+        F.col(id_col).alias("inner_id"), "gram"
+    )
+    cand = (
+        first.join(
+            grams.select(F.col(id_col).alias("outer_id"), "gram").distinct(),
+            "gram",
+        )
+        .filter(F.col("inner_id") != F.col("outer_id"))
+        .select("inner_id", "outer_id")
+        .distinct()
+    )
+    a = base.select(F.col(id_col).alias("inner_id"), F.col("norm").alias("n_a"))
+    b = base.select(F.col(id_col).alias("outer_id"), F.col("norm").alias("n_b"))
+    pad = lambda c: F.concat(F.lit(" "), c, F.lit(" "))  # noqa: E731
+    return (
+        cand.join(a, "inner_id")
+        .join(b, "outer_id")
+        .filter(
+            F.contains(pad(F.col("n_b")), pad(F.col("n_a")))
+            & (
+                (F.length("n_a") < F.length("n_b"))
+                | (
+                    (F.length("n_a") == F.length("n_b"))
+                    & (F.col("inner_id") < F.col("outer_id"))
+                )
+            )
+        )
+        .select("inner_id", "outer_id")
+    )
+
+
 def simhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",

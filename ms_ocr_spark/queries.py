@@ -775,6 +775,40 @@ def dedup_keepers_cc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONT_K = 8
+_CONT_GRAM = " || ' ' || ".join(f"t[i+{j}]" for j in range(_CONT_K))
+
+
+@_register(
+    "containment_dedup_pairs",
+    f"""
+    WITH base AS (SELECT doc_id, array_to_string({_TOKS_SQL}, ' ') AS norm
+                  FROM documents),
+    toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    grams AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, {_CONT_GRAM} AS gram
+              FROM toks, unnest(range(1, greatest(len(t) - {_CONT_K - 2}, 1))) u(i)),
+    first AS (SELECT doc_id AS inner_id, gram FROM grams WHERE pos = 0),
+    og AS (SELECT DISTINCT doc_id AS outer_id, gram FROM grams),
+    cand AS (SELECT DISTINCT f.inner_id, o.outer_id
+             FROM first f JOIN og o USING (gram)
+             WHERE f.inner_id != o.outer_id)
+    SELECT c.inner_id, c.outer_id
+    FROM cand c JOIN base a ON a.doc_id = c.inner_id
+                JOIN base b ON b.doc_id = c.outer_id
+    WHERE contains(' ' || b.norm || ' ', ' ' || a.norm || ' ')
+      AND (length(a.norm) < length(b.norm)
+           OR (length(a.norm) = length(b.norm) AND c.inner_id < c.outer_id))
+    """,
+)
+def containment_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document containment dedup (short doc inside a long one —
+    the class Jaccard-LSH misses): first-k-gram anchor join + exact
+    space-padded contains verify on normalized text."""
+    return dedup.containment_dedup_pairs(
+        _t(spark, sf_dir, "documents"), k=_CONT_K
+    )
+
+
 _REP_N = 2
 _REP_GRAM = " || ' ' || ".join(f"t[i+{j}]" for j in range(_REP_N))
 

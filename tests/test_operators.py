@@ -307,6 +307,29 @@ def test_duplicate_passage_spans_finds_planted_passage(spark):
     assert "d3" not in out
 
 
+def test_containment_dedup_pairs_planted(spark):
+    """A short doc embedded verbatim inside a longer one is found (the
+    low-Jaccard class LSH misses); exact dups report one direction;
+    token-boundary alignment is enforced (no mid-token matches)."""
+    from ms_ocr_spark.operators.dedup import containment_dedup_pairs
+
+    inner = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        ("short", inner),
+        ("long", f"prefix words here {inner} suffix words there end"),
+        ("dup_a", "one two three four five six seven eight nine"),
+        ("dup_b", "one two three four five six seven eight nine"),
+        # same chars but no token boundary: 'alphabeta...' must NOT match
+        ("glued", "alphabeta gamma delta epsilon zeta eta theta extra pad"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        (r["inner_id"], r["outer_id"])
+        for r in containment_dedup_pairs(docs, k=8).collect()
+    }
+    assert got == {("short", "long"), ("dup_a", "dup_b")}
+
+
 def test_doc_repetition_stats_planted(spark):
     """A doc that is one phrase looped has dup_gram_frac ~1 and a
     dominant top gram; a no-repeat doc scores 0."""
