@@ -879,6 +879,130 @@ def passage_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "training_corpus_keepers",
+    f"""
+    WITH RECURSIVE {_MINHASH_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
+      FROM pairs p JOIN sh a ON a.doc_id = p.id_a
+                   JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+      GROUP BY p.id_a, p.id_b),
+    verified AS (
+      SELECT i.id_a, i.id_b
+      FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+                   JOIN sizes sb ON sb.doc_id = i.id_b
+      WHERE i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.5),
+    und AS (SELECT id_a AS a, id_b AS b FROM verified
+            UNION SELECT id_b AS a, id_a AS b FROM verified),
+    reach(a, b) AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN und e ON e.a = r.b),
+    labels AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+      FROM reach GROUP BY a),
+    near_losers AS (SELECT doc_id FROM labels WHERE doc_id != component),
+    exact_losers AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+        FROM documents) WHERE doc_id != keeper),
+    gq AS (
+      SELECT doc_id,
+             CAST(len({_TOKS_SQL}) AS BIGINT) AS n_words,
+             list_reduce(list_prepend(0, list_transform({_TOKS_SQL}, t -> length(t))),
+                         (a, x) -> a + x) AS sum_len,
+             length(text) - length(regexp_replace(text, '#', '', 'g')) AS n_hash,
+             (length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3 AS n_ell,
+             CAST(len(list_filter({_TOKS_SQL}, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS n_alpha
+      FROM documents),
+    gopher_pass AS (
+      SELECT doc_id FROM gq
+      WHERE n_words >= 50 AND n_words <= 100000
+        AND n_words > 0
+        AND sum_len * 1.0 / n_words >= 3 AND sum_len * 1.0 / n_words <= 10
+        AND (n_hash + n_ell) * 1.0 / n_words <= 0.1
+        AND n_alpha * 1.0 / n_words >= 0.8),
+    rtoks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    rgrams AS (SELECT doc_id, {_REP_GRAM} AS gram
+               FROM rtoks, unnest(range(1, greatest(len(t) - {_REP_N - 2}, 1))) u(i)),
+    rpg AS (SELECT doc_id, gram, COUNT(*) AS c FROM rgrams GROUP BY doc_id, gram),
+    rep_frac AS (
+      SELECT doc_id,
+             SUM(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / SUM(c) AS dup_frac
+      FROM rpg GROUP BY doc_id),
+    rep_losers AS (SELECT doc_id FROM rep_frac WHERE ROUND(dup_frac, 6) > 0.2),
+    cbase AS (SELECT doc_id, array_to_string({_TOKS_SQL}, ' ') AS norm FROM documents),
+    cgrams AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, {_CONT_GRAM} AS gram
+               FROM rtoks, unnest(range(1, greatest(len(t) - {_CONT_K - 2}, 1))) u(i)),
+    cfirst AS (SELECT doc_id AS inner_id, gram FROM cgrams WHERE pos = 0),
+    cog AS (SELECT DISTINCT doc_id AS outer_id, gram FROM cgrams),
+    contained AS (
+      SELECT DISTINCT c.inner_id AS doc_id
+      FROM (SELECT DISTINCT f.inner_id, o.outer_id
+            FROM cfirst f JOIN cog o USING (gram)
+            WHERE f.inner_id != o.outer_id) c
+      JOIN cbase a ON a.doc_id = c.inner_id
+      JOIN cbase b ON b.doc_id = c.outer_id
+      WHERE contains(' ' || b.norm || ' ', ' ' || a.norm || ' ')
+        AND (length(a.norm) < length(b.norm)
+             OR (length(a.norm) = length(b.norm) AND c.inner_id < c.outer_id)))
+    SELECT doc_id FROM documents
+    WHERE doc_id IN (SELECT doc_id FROM gopher_pass)
+      AND doc_id NOT IN (SELECT doc_id FROM exact_losers)
+      AND doc_id NOT IN (SELECT doc_id FROM near_losers)
+      AND doc_id NOT IN (SELECT doc_id FROM rep_losers)
+      AND doc_id NOT IN (SELECT doc_id FROM contained)
+    """,
+)
+def training_corpus_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPSTONE training-data pipeline: the full filter chain a 100-TB
+    corpus build runs, composed from the suite's own operators —
+    exact-dup keepers ∩ connected-component near-dup keepers (MinHash-LSH
+    candidates, Jaccard-verified, min-label components) ∩ Gopher quality
+    gates ∩ within-doc repetition threshold (dup-gram frac <= 0.2)
+    ∖ whole-doc containment losers.  One persisted shingle relation
+    feeds minhash, LSH and Jaccard; every stage is the same
+    oracle-verified operator exposed individually."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = track(dedup.shingles(docs))
+    pairs = dedup.lsh_candidate_pairs(dedup.minhash_signature_arrays(sh))
+    near = dedup.jaccard_verify(pairs, docs, threshold=0.5, shingles_df=sh)
+    labels = dedup.component_labels(near.select("id_a", "id_b"))
+    near_losers = labels.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    w = Window.partitionBy(F.md5("text"))
+    exact_losers = (
+        docs.withColumn("keeper", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select("doc_id")
+    )
+    gopher_pass = (
+        textstats.gopher_quality_flags(docs)
+        .filter(F.col("passes_gopher"))
+        .select("doc_id")
+    )
+    # repetition threshold compares the operator's public (6dp-rounded)
+    # fraction; the oracle rounds identically
+    rep = dedup.doc_repetition_stats(docs, n=_REP_N)
+    rep_losers = rep.filter(F.col("dup_gram_frac") > 0.2).select("doc_id")
+    contained = (
+        dedup.containment_dedup_pairs(docs, k=_CONT_K)
+        .select(F.col("inner_id").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        docs.select("doc_id")
+        .join(gopher_pass, "doc_id")
+        .join(exact_losers, "doc_id", "left_anti")
+        .join(near_losers, "doc_id", "left_anti")
+        .join(rep_losers, "doc_id", "left_anti")
+        .join(contained, "doc_id", "left_anti")
+    )
+
+
 def _simhash_sql(bits: int = 16) -> str:
     h = md5_long_sql("tok")
     bit_sums = ", ".join(
