@@ -371,6 +371,13 @@ def is_progressive_jpeg(data: bytes) -> bool:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             return False
+        # T.81 B.1.1.2: markers may be preceded by any number of 0xFF
+        # fill bytes — skip them or a padded stream misreads the marker
+        # byte as a segment length
+        while pos + 4 <= len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(data):
+            return False
         marker = data[pos + 1]
         if marker in (0xC2, 0xC6, 0xCA, 0xCE):
             return True

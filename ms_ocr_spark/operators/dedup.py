@@ -19,6 +19,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -27,6 +29,11 @@ from ms_ocr_spark.functions.hashing import MERSENNE31, md5_long, perm_params
 from ms_ocr_spark.plans.cache import track
 
 TOKEN_PATTERN = "\\s+"
+
+# Observed-metric names must be unique within a query plan (Spark raises
+# AnalysisException on duplicates), so each lsh_candidate_pairs call gets
+# a fresh suffix — two LSH invocations can then compose into one plan.
+_LSH_OBS_COUNTER = itertools.count()
 
 
 def tokens_col(text_col: str = "text"):
@@ -154,11 +161,15 @@ def lsh_candidate_pairs(
         )
     # guard: drop any signature whose length disagrees with num_hashes —
     # cheap filter, prevents the silent cross-join class.  The drop count
-    # is LOUD, not silent: a named observation ("lsh_signature_guard" /
-    # dropped_signatures) rides the plan at zero cost and surfaces through
-    # any QueryExecutionListener, and strict=True pays one extra count()
-    # action to refuse malformed inputs outright — a doc dropped here
-    # exits candidate generation entirely and would survive as a keeper.
+    # is LOUD, not silent: a named observation ("lsh_signature_guard_<n>"
+    # / dropped_signatures) rides the plan at zero cost and surfaces
+    # through any QueryExecutionListener, and strict=True pays one extra
+    # count() action to refuse malformed inputs outright — a doc dropped
+    # here exits candidate generation entirely and would survive as a
+    # keeper.  The observation name carries a process-unique suffix:
+    # Spark requires observed-metric names to be unique per query, so a
+    # fixed name would fail at analysis time the moment two LSH
+    # invocations compose into one plan.
     if strict:
         n_bad = signatures.filter(F.size("sig") != num_hashes).count()
         if n_bad:
@@ -168,7 +179,7 @@ def lsh_candidate_pairs(
                 "dedup. Fix the signature stage or pass strict=False."
             )
     signatures = signatures.observe(
-        "lsh_signature_guard",
+        f"lsh_signature_guard_{next(_LSH_OBS_COUNTER)}",
         F.sum(
             F.when(F.size("sig") != num_hashes, F.lit(1)).otherwise(F.lit(0))
         ).alias("dropped_signatures"),
@@ -317,7 +328,9 @@ def doc_repetition_stats(
       * n_distinct     — distinct n-grams
       * dup_gram_frac  — fraction of positions whose gram occurs > 1x
       * top_gram_frac  — fraction of positions taken by the most
-                         frequent gram (ties: lexicographically first)
+                         frequent gram (ties: lexicographically LAST —
+                         F.max over struct(c, gram), mirrored by the
+                         oracle's ORDER BY gram DESC)
 
     One explode + one per-(doc, gram) count + one per-doc aggregate —
     all map-side-combinable, no joins, no Python.

@@ -154,9 +154,15 @@ def gopher_quality_flags(
 # GPT-2-style pre-tokenizer alternation (ASCII-scoped so the Java-regex
 # Spark side and the RE2 DuckDB oracle match EXACTLY — verified on the
 # corpus and adversarial strings; unicode classes are where the engines'
-# regex flavors diverge, so they are deliberately excluded):
+# regex flavors diverge, so they are deliberately excluded).  Whitespace
+# is the EXPLICIT class [ \t\n\r\f], not \s: Java's \s includes \x0B
+# (vertical tab) while RE2's does not, so \s would silently break parity
+# on documents containing \x0B.
 #   contraction | ?letters | ?digits | ?punct-run | whitespace-run
-BPE_PATTERN = "'[a-z]+| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+"
+_WS = " \\t\\n\\r\\f"
+BPE_PATTERN = (
+    f"'[a-z]+| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9{_WS}]+|[{_WS}]+"
+)
 
 
 def bpe_token_count(
