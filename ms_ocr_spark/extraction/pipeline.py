@@ -242,14 +242,17 @@ def extract_documents(
     return result
 
 
-@F.pandas_udf(T.BooleanType())
-def _progressive_jpeg_flag(payload: pd.Series) -> pd.Series:
-    """Arrow-batched SOF2-family marker sniff (decode-scope telemetry)."""
-    from ms_ocr_spark.extraction.ocr.jpeg import is_progressive_jpeg
+@F.pandas_udf(T.StringType())
+def _jpeg_scope_reason_udf(payload: pd.Series) -> pd.Series:
+    """Arrow-batched JPEG decode-scope probe: null = in scope (baseline
+    OR progressive both decode since round 5), else the reason string
+    (`truncated_jpeg` / `unsupported_jpeg_layout`).  Header-only marker
+    walk — never touches entropy data."""
+    from ms_ocr_spark.extraction.ocr.jpeg import jpeg_scope_reason
 
     return pd.Series(
         [
-            bool(is_progressive_jpeg(bytes(b))) if b is not None else None
+            jpeg_scope_reason(bytes(b)) if b is not None else None
             for b in payload
         ],
         dtype=object,
@@ -279,18 +282,21 @@ def quarantine_invalid_media(docs: DataFrame, media: DataFrame) -> DataFrame:
     this to a quarantine sink next to the main output.
 
     `reason` values: `missing` (no payload row), `invalid` (magic-byte /
-    size rejection), `unsupported_progressive` (valid JPEG whose frame is
-    progressive) and `unsupported_tiff_layout` (valid TIFF outside the
-    codec's scope: tiled, multi-sample, exotic compression) — both
-    quarantined BY DESIGN by the baseline codecs; the distinct reasons
-    let a corpus operator see the decode-scope cost (VERDICT r3 item 7).
-    Both probes are header-only sniffs, never pixel decodes."""
+    size rejection), `truncated_jpeg` (JPEG whose marker walk ends
+    before a scan), `unsupported_jpeg_layout` (multi-component/
+    arithmetic/lossless/restart-interval frames) and
+    `unsupported_tiff_layout` (tiled, multi-sample, exotic compression)
+    — all quarantined BY DESIGN by the codecs; the distinct reasons let
+    a corpus operator see the decode-scope cost (VERDICT r3 item 7).
+    Progressive (SOF2) JPEGs DECODE since round 5 and no longer appear
+    here (VERDICT r4 item 1).  All probes are header-only sniffs, never
+    pixel decodes."""
     from ms_ocr_spark.operators.multimodal import mime_col, valid_payload_col
 
     flat = explode_spans(docs).filter(F.col("kind") == "media")
     joined = flat.join(media.select("media_ref", "payload"), "media_ref", "left")
-    is_prog = (F.col("mime") == "jpeg") & F.coalesce(
-        _progressive_jpeg_flag(F.col("payload")), F.lit(False)
+    jpeg_reason = F.when(
+        F.col("mime") == "jpeg", _jpeg_scope_reason_udf(F.col("payload"))
     )
     is_bad_tiff = (F.col("mime") == "tiff") & F.coalesce(
         _tiff_out_of_scope_flag(F.col("payload")), F.lit(False)
@@ -301,7 +307,7 @@ def quarantine_invalid_media(docs: DataFrame, media: DataFrame) -> DataFrame:
             "reason",
             F.when(F.col("payload").isNull(), "missing")
             .when(~valid_payload_col("payload"), "invalid")
-            .when(is_prog, "unsupported_progressive")
+            .when(jpeg_reason.isNotNull(), jpeg_reason)
             .when(is_bad_tiff, "unsupported_tiff_layout")
             .otherwise("ok"),
         )

@@ -1597,6 +1597,50 @@ def _extract_spans_jpeg_oracle() -> str:
     return _golden_spans_oracle(_corpus_paths_jpeg()["golden_spans"])
 
 
+def _corpus_paths_progressive(n_docs: int = 40) -> dict[str, str]:
+    """Progressive-JPEG media tier (round 5 — the reference accepts
+    progressive via PIL, `image_processor/main.py:58-63`; most camera/web
+    JPEGs are SOF2): ~45% progressive 6-scan JFIF (spectral selection +
+    successive approximation + cross-block EOB runs), ~15% baseline JFIF,
+    remainder PNG — all three dispatch inside one Arrow UDF batch."""
+    import os
+
+    from ms_ocr_spark.sources.datagen import write_corpus
+
+    cache = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), ".cache", f"corpus_prog_{n_docs}"
+    )
+    return write_corpus(
+        cache, n_docs=n_docs, seed=52, jpeg_pct=0.15, prog_jpeg_pct=0.45
+    )
+
+
+def extract_spans_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive-JPEG extraction tier: SOF2 streams route to the T.81
+    §G decoder (DC/AC first + refinement scans, EOB runs) inside the same
+    Arrow UDF; baseline JPEG and PNG payloads ride the same batch."""
+    from ms_ocr_spark.extraction.pipeline import extract_documents
+
+    paths = _corpus_paths_progressive()
+    docs = spark.read.parquet(paths["documents"])
+    media = spark.read.parquet(paths["media_store"])
+    out = extract_documents(docs, media)
+    return out.select("doc_id", F.posexplode("spans").alias("pos", "span")).select(
+        "doc_id",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
+_REGISTRY.append(("extract_spans_progressive", extract_spans_progressive, None))
+
+
+def _extract_spans_progressive_oracle() -> str:
+    return _golden_spans_oracle(_corpus_paths_progressive()["golden_spans"])
+
+
 def _corpus_paths_tiff(n_docs: int = 40) -> dict[str, str]:
     """Three-codec media tier covering the reference's FULL upload
     allow-list (jpg/jpeg/png/tif/tiff, `env/local.env:25`): ~30% baseline
@@ -1817,9 +1861,10 @@ _REGISTRY.append(("media_image_metadata", media_image_metadata, None))
 
 def _corpus_paths_quarantine(n_docs: int = 40) -> dict[str, str]:
     """Corrupted-media corpus: ~15% garbage payloads (admission reject),
-    ~20% progressive-JPEG headers and ~10% tiled-TIFF headers (both pass
-    admission but sit outside the baseline codecs' decode scope),
-    remainder decodable PNG/JPEG."""
+    ~10% header-only truncated SOF2 stubs, ~10% color-JPEG headers, ~10%
+    tiled-TIFF headers (pass admission, outside decode scope) — and ~20%
+    COMPLETE progressive JPEGs that DECODE (round 5), proving the class
+    shrank to genuinely-broken files only."""
     import os
 
     from ms_ocr_spark.sources.datagen import write_corpus
@@ -1831,8 +1876,10 @@ def _corpus_paths_quarantine(n_docs: int = 40) -> dict[str, str]:
         cache,
         n_docs=n_docs,
         seed=51,
-        jpeg_pct=0.3,
-        progressive_pct=0.2,
+        jpeg_pct=0.2,
+        prog_jpeg_pct=0.25,
+        truncated_jpeg_pct=0.1,
+        unsupported_jpeg_pct=0.1,
         invalid_pct=0.15,
         unsupported_tiff_pct=0.1,
     )
@@ -1840,12 +1887,13 @@ def _corpus_paths_quarantine(n_docs: int = 40) -> dict[str, str]:
 
 def quarantine_media_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quarantine side output with reason telemetry: `invalid` (magic-byte
-    reject) vs `unsupported_progressive` (SOF2 frame) vs
-    `unsupported_tiff_layout` (tiled/exotic TIFF) — the latter two pass
-    admission but sit outside the baseline codecs' scope, quarantined BY
-    DESIGN and now countable per class.  Oracle = the generator's
-    golden_quarantine parquet (straight-line derivation of the verdict
-    per media span)."""
+    reject) vs `truncated_jpeg` (marker walk ends before a scan) vs
+    `unsupported_jpeg_layout` (color/arithmetic/lossless frames) vs
+    `unsupported_tiff_layout` (tiled/exotic TIFF) — quarantined BY DESIGN
+    and countable per class.  Progressive JPEGs decode since round 5 and
+    no longer appear (the corpus contains decodable ones to prove it).
+    Oracle = the generator's golden_quarantine parquet (straight-line
+    derivation of the verdict per media span)."""
     from ms_ocr_spark.extraction.pipeline import quarantine_invalid_media
 
     paths = _corpus_paths_quarantine()
@@ -2035,6 +2083,7 @@ _LAZY_ORACLES: dict[str, Callable[[], str]] = {
     "extract_spans_vertical": _extract_spans_vertical_oracle,
     "extract_spans_warped": _extract_spans_warped_oracle,
     "extract_spans_jpeg": _extract_spans_jpeg_oracle,
+    "extract_spans_progressive": _extract_spans_progressive_oracle,
     "extract_spans_tiff": _extract_spans_tiff_oracle,
     "extract_spans_mixedcase": _extract_spans_mixedcase_oracle,
     "extract_spans_routed": _extract_spans_routed_oracle,

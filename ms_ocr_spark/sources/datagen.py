@@ -28,7 +28,11 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ms_ocr_spark.extraction.ocr.glyphs import ALPHABET, render_placed, render_text
-from ms_ocr_spark.extraction.ocr.jpeg import decode_gray_jpeg, encode_gray_jpeg
+from ms_ocr_spark.extraction.ocr.jpeg import (
+    decode_gray_jpeg,
+    encode_gray_jpeg,
+    encode_gray_jpeg_progressive,
+)
 from ms_ocr_spark.extraction.ocr.tiff import encode_gray_tiff
 from ms_ocr_spark.extraction.ocr.png import encode_gray
 
@@ -390,11 +394,13 @@ def _gen_chunk(args: tuple) -> tuple[list, list, list, list, list]:
         vertical_pct,
         shear_pct,
         jpeg_pct,
+        prog_jpeg_pct,
         tiff_pct,
         rgb_pct,
         mixed_pct,
         routed_pct,
-        progressive_pct,
+        truncated_jpeg_pct,
+        unsupported_jpeg_pct,
         invalid_pct,
         unsupported_tiff_pct,
     ) = args
@@ -474,14 +480,23 @@ def _gen_chunk(args: tuple) -> tuple[list, list, list, list, list]:
                     invalid_pct > 0
                     and _h(seed, "isinvalid", i, off) % 1000 < invalid_pct * 1000
                 )
-                is_prog = (
+                is_trunc = (
                     not is_invalid
-                    and progressive_pct > 0
-                    and _h(seed, "isprog", i, off) % 1000 < progressive_pct * 1000
+                    and truncated_jpeg_pct > 0
+                    and _h(seed, "isprog", i, off) % 1000
+                    < truncated_jpeg_pct * 1000
+                )
+                is_unsup_jpeg = (
+                    not is_invalid
+                    and not is_trunc
+                    and unsupported_jpeg_pct > 0
+                    and _h(seed, "isujpeg", i, off) % 1000
+                    < unsupported_jpeg_pct * 1000
                 )
                 is_unsup_tiff = (
                     not is_invalid
-                    and not is_prog
+                    and not is_trunc
+                    and not is_unsup_jpeg
                     and unsupported_tiff_pct > 0
                     and _h(seed, "isutiff", i, off) % 1000
                     < unsupported_tiff_pct * 1000
@@ -490,19 +505,28 @@ def _gen_chunk(args: tuple) -> tuple[list, list, list, list, list]:
                     jpeg_pct > 0
                     and _h(seed, "isjpeg", i, off) % 1000 < jpeg_pct * 1000
                 )
+                is_prog_jpeg = (
+                    not is_jpeg
+                    and prog_jpeg_pct > 0
+                    and _h(seed, "isprogjpeg", i, off) % 1000
+                    < prog_jpeg_pct * 1000
+                )
                 is_tiff = (
                     not is_jpeg
+                    and not is_prog_jpeg
                     and tiff_pct > 0
                     and _h(seed, "istiff", i, off) % 1000 < tiff_pct * 1000
                 )
                 is_rgb = (
                     not is_jpeg
+                    and not is_prog_jpeg
                     and not is_tiff
                     and rgb_pct > 0
                     and _h(seed, "isrgb", i, off) % 1000 < rgb_pct * 1000
                 )
-                if is_invalid or is_prog or is_unsup_tiff:
+                if is_invalid or is_trunc or is_unsup_jpeg or is_unsup_tiff:
                     from ms_ocr_spark.extraction.ocr.jpeg import (
+                        encode_multicomponent_stub,
                         encode_progressive_stub,
                     )
                     from ms_ocr_spark.extraction.ocr.tiff import (
@@ -520,11 +544,21 @@ def _gen_chunk(args: tuple) -> tuple[list, list, list, list, list]:
                             int(img.shape[0]), int(img.shape[1])
                         )
                         fmt, reason = "tiff", "unsupported_tiff_layout"
+                    elif is_unsup_jpeg:
+                        # color (3-component) header: layout outside the
+                        # grayscale codec's scope
+                        payload = encode_multicomponent_stub(
+                            int(img.shape[0]), int(img.shape[1])
+                        )
+                        fmt, reason = "jpeg", "unsupported_jpeg_layout"
                     else:
+                        # header-only SOF2 (no scan): a transfer-truncated
+                        # progressive JPEG — COMPLETE progressive streams
+                        # decode since round 5 (see prog_jpeg_pct tier)
                         payload = encode_progressive_stub(
                             int(img.shape[0]), int(img.shape[1])
                         )
-                        fmt, reason = "jpeg", "unsupported_progressive"
+                        fmt, reason = "jpeg", "truncated_jpeg"
                     meta_rows.append(
                         {
                             "media_ref": ref,
@@ -573,12 +607,21 @@ def _gen_chunk(args: tuple) -> tuple[list, list, list, list, list]:
                             "orientation": None,
                         }
                     )
-                elif is_jpeg:
+                elif is_jpeg or is_prog_jpeg:
                     # lossy tier: golden metadata measures the DECODED
                     # pixels (the engine can only see those); flat-quant
                     # encoding keeps the round trip within ±1 gray level
-                    # so truth text still OCRs exactly
-                    payload = encode_gray_jpeg(img, dpi=side["dpi"])
+                    # so truth text still OCRs exactly.  The progressive
+                    # variant carries the same coefficients to full
+                    # precision over 6 scans (spectral selection +
+                    # successive approximation), so its decode is
+                    # bit-identical to the baseline tier's.
+                    enc = (
+                        encode_gray_jpeg_progressive
+                        if is_prog_jpeg
+                        else encode_gray_jpeg
+                    )
+                    payload = enc(img, dpi=side["dpi"])
                     dec = decode_gray_jpeg(payload)
                     meta_rows.append(
                         {
@@ -618,7 +661,7 @@ def _gen_chunk(args: tuple) -> tuple[list, list, list, list, list]:
                         "kind": "media",
                         # undecodable payloads quarantine -> null text
                         "text": None
-                        if (is_invalid or is_prog or is_unsup_tiff)
+                        if (is_invalid or is_trunc or is_unsup_jpeg or is_unsup_tiff)
                         else truth,
                         "media_ref": ref,
                         "offset": off,
@@ -640,11 +683,13 @@ def gen_corpus(
     vertical_pct: float = 0.0,
     shear_pct: float = 0.0,
     jpeg_pct: float = 0.0,
+    prog_jpeg_pct: float = 0.0,
     tiff_pct: float = 0.0,
     rgb_pct: float = 0.0,
     mixed_pct: float = 0.0,
     routed_pct: float = 0.0,
-    progressive_pct: float = 0.0,
+    truncated_jpeg_pct: float = 0.0,
+    unsupported_jpeg_pct: float = 0.0,
     invalid_pct: float = 0.0,
     unsupported_tiff_pct: float = 0.0,
     processes: int | None = None,
@@ -673,11 +718,13 @@ def gen_corpus(
                 vertical_pct,
                 shear_pct,
                 jpeg_pct,
+                prog_jpeg_pct,
                 tiff_pct,
                 rgb_pct,
                 mixed_pct,
                 routed_pct,
-                progressive_pct,
+                truncated_jpeg_pct,
+                unsupported_jpeg_pct,
                 invalid_pct,
                 unsupported_tiff_pct,
             )
@@ -733,8 +780,10 @@ def write_corpus(out_dir: str, n_docs: int, seed: int = 42, **kw) -> dict[str, s
     # fmt 3: routed tiers render katakana (ja/ja_vert charsets)
     # fmt 4: tiff tier rotates compression/bit-depth variants (LZW/
     #        PackBits/16-bit)
+    # fmt 5: progressive JPEGs decode — quarantine reasons reclassified
+    #        (truncated_jpeg / unsupported_jpeg_layout), prog tier added
     params = {
-        "fmt": 4,
+        "fmt": 5,
         "n_docs": n_docs,
         "seed": seed,
         **{k: kw[k] for k in sorted(kw) if k != "processes"},

@@ -328,7 +328,8 @@ def test_checkpoint_resume_composed_round4_tiers(spark, tmp_path):
         rgb_pct=0.2,
         jpeg_pct=0.2,
         tiff_pct=0.2,
-        progressive_pct=0.1,
+        prog_jpeg_pct=0.1,
+        truncated_jpeg_pct=0.1,
         invalid_pct=0.1,
     )
     docs = spark.read.parquet(paths["documents"])

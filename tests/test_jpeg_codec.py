@@ -88,3 +88,123 @@ def test_jpeg_tier_ocr_exact():
     assert n_jpeg > 0
     fmts = {r["format"] for r in meta.to_pylist()}
     assert fmts == {"png", "jpeg"}
+
+
+# ---------------------------------------------------------------- progressive
+from ms_ocr_spark.extraction.ocr.jpeg import (  # noqa: E402
+    encode_gray_jpeg_progressive,
+    encode_multicomponent_stub,
+    encode_progressive_stub,
+    is_progressive_jpeg,
+    jpeg_scope_reason,
+)
+
+
+def _image_zoo() -> list[np.ndarray]:
+    rng = np.random.default_rng(11)
+    zoo = [
+        rng.integers(0, 256, (40, 72), dtype=np.uint8),  # noise
+        np.full((5, 6), 200, dtype=np.uint8),  # sub-block tiny
+    ]
+    # mostly-white sparse image: nearly all AC-empty blocks, so the
+    # encoder MUST accumulate cross-block EOB runs (> 1) and the decoder
+    # MUST replay them (the round-4 decode-scope gap's hardest path)
+    a = np.full((64, 128), 255, dtype=np.uint8)
+    a[30:33, 60:63] = 0
+    zoo.append(a)
+    # high-frequency checkerboard: dense AC bands incl. ZRL runs
+    c = np.zeros((48, 48), dtype=np.uint8)
+    c[::2, ::2] = 255
+    c[1::2, 1::2] = 255
+    zoo.append(c)
+    from ms_ocr_spark.extraction.ocr.glyphs import render_text
+
+    zoo.append(render_text("PROGRESSIVE JPEG\nSCAN 123"))
+    return zoo
+
+
+def test_progressive_decode_bit_identical_to_baseline():
+    """The 6-scan script carries the quantized coefficients to full
+    precision, so progressive decode == baseline decode EXACTLY."""
+    for img in _image_zoo():
+        pb = encode_gray_jpeg_progressive(img)
+        assert is_progressive_jpeg(pb)
+        assert jpeg_scope_reason(pb) is None
+        assert np.array_equal(
+            decode_gray_jpeg(pb), decode_gray_jpeg(encode_gray_jpeg(img))
+        )
+
+
+def test_progressive_eob_runs_actually_accumulate():
+    """Guard against the encoder silently degrading to EOBRUN<=1 (which
+    would leave the decoder's multi-block EOB-run path untested): the
+    sparse image's AC-first scan must contain an EOBn symbol with n>0,
+    i.e. the scan must be shorter than one EOB code per block."""
+    from ms_ocr_spark.extraction.ocr.jpeg import _enc_ac_first, _quantize_blocks
+
+    # all-white image: every block's AC band is empty, so the whole scan
+    # must be ONE EOBn symbol covering all 128 blocks (9-bit code + 7
+    # run-length bits = 2 bytes) — an EOBRUN<=1 encoder would emit 128
+    # symbols (~144 bytes)
+    zz = _quantize_blocks(np.full((64, 128), 255, dtype=np.uint8),
+                          np.ones(64, dtype=np.int64))
+    assert zz.shape[0] == 128
+    scan = _enc_ac_first(zz, 6, 63, 1)
+    assert len(scan) <= 4, len(scan)
+    # and the sparse dotted image (two dense blocks mid-run) still
+    # round-trips exactly -> the decoder replays multi-block EOB runs
+    a = np.full((64, 128), 255, dtype=np.uint8)
+    a[30:33, 60:63] = 0
+    assert np.array_equal(
+        decode_gray_jpeg(encode_gray_jpeg_progressive(a)),
+        decode_gray_jpeg(encode_gray_jpeg(a)),
+    )
+
+
+def test_progressive_decode_with_fill_bytes_and_dispatch():
+    img = (np.arange(40 * 72).reshape(40, 72) % 256).astype(np.uint8)
+    pb = encode_gray_jpeg_progressive(img)
+    i = pb.find(b"\xff\xc2")
+    padded = pb[:i] + b"\xff\xff" + pb[i:]
+    j = padded.find(b"\xff\xda", padded.find(b"\xff\xda") + 2)
+    padded = padded[:j] + b"\xff" + padded[j:]
+    assert np.array_equal(
+        decode_media(padded), decode_gray_jpeg(encode_gray_jpeg(img))
+    )
+
+
+def test_progressive_jfif_density():
+    img = np.zeros((16, 16), dtype=np.uint8)
+    assert jfif_density(encode_gray_jpeg_progressive(img, dpi=144.0)) == 144.0
+
+
+def test_jpeg_scope_reasons():
+    img = np.full((24, 24), 128, dtype=np.uint8)
+    assert jpeg_scope_reason(encode_gray_jpeg(img)) is None
+    assert jpeg_scope_reason(encode_gray_jpeg_progressive(img)) is None
+    assert jpeg_scope_reason(encode_progressive_stub()) == "truncated_jpeg"
+    assert (
+        jpeg_scope_reason(encode_multicomponent_stub())
+        == "unsupported_jpeg_layout"
+    )
+    # cut mid-markers -> truncated
+    assert jpeg_scope_reason(encode_gray_jpeg(img)[:12]) == "truncated_jpeg"
+    with pytest.raises(Exception):
+        decode_gray_jpeg(encode_progressive_stub())
+
+
+def test_progressive_tier_ocr_exact():
+    """Every progressive payload in the mixed tier decodes to its exact
+    truth text through the full kernel."""
+    from ms_ocr_spark.sources.datagen import gen_corpus
+
+    _, media, _, _, _ = gen_corpus(
+        16, seed=52, jpeg_pct=0.15, prog_jpeg_pct=0.45, processes=1
+    )
+    n_prog = 0
+    for row in media.to_pylist():
+        buf = bytes(row["payload"])
+        if is_progressive_jpeg(buf):
+            n_prog += 1
+        assert decode_image(decode_media(buf)) == row["truth_text"]
+    assert n_prog > 0

@@ -212,11 +212,13 @@ def test_rgb_tier_golden(spark, tmp_path):
 
 
 def test_quarantine_tier_golden_and_reasons(spark, tmp_path):
-    """Corrupted-media tier (round 4): garbage payloads reject at
-    admission (`invalid`), progressive-JPEG headers pass admission but
-    quarantine with the distinct `unsupported_progressive` reason; the
-    extraction output still matches golden (null text for both classes,
-    no task failures)."""
+    """Corrupted-media tier (round 5 reasons): garbage payloads reject at
+    admission (`invalid`); header-only SOF2 stubs quarantine as
+    `truncated_jpeg`; color-JPEG headers as `unsupported_jpeg_layout`;
+    tiled TIFFs as `unsupported_tiff_layout` — while COMPLETE progressive
+    JPEGs in the same corpus now DECODE (non-null golden text, absent
+    from golden_quarantine).  Extraction output still matches golden
+    exactly (null text for quarantined classes, no task failures)."""
     from ms_ocr_spark.extraction.pipeline import quarantine_invalid_media
     from ms_ocr_spark.sources.datagen import write_corpus
 
@@ -224,8 +226,10 @@ def test_quarantine_tier_golden_and_reasons(spark, tmp_path):
         str(tmp_path / "quar"),
         n_docs=24,
         seed=22,
-        jpeg_pct=0.3,
-        progressive_pct=0.25,
+        jpeg_pct=0.2,
+        prog_jpeg_pct=0.3,
+        truncated_jpeg_pct=0.15,
+        unsupported_jpeg_pct=0.12,
         invalid_pct=0.2,
         unsupported_tiff_pct=0.15,
     )
@@ -237,10 +241,25 @@ def test_quarantine_tier_golden_and_reasons(spark, tmp_path):
     q = quarantine_invalid_media(docs, media)
     gq = spark.read.parquet(paths["golden_quarantine"])
     reasons = {r["reason"] for r in gq.select("reason").distinct().collect()}
-    assert reasons == {"invalid", "unsupported_progressive", "unsupported_tiff_layout"}
+    assert reasons == {
+        "invalid",
+        "truncated_jpeg",
+        "unsupported_jpeg_layout",
+        "unsupported_tiff_layout",
+    }
     cols = ["doc_id", "offset", "media_ref", "mime", "n_bytes", "reason"]
     assert q.count() == gq.count()
     assert gq.select(*cols).exceptAll(q.select(*cols)).count() == 0
+    # the round-4 class is GONE: decodable progressive payloads exist in
+    # the corpus (prog_jpeg_pct) yet none appears in the quarantine
+    import duckdb
+
+    n_prog_decoded = duckdb.sql(
+        "SELECT count(*) FROM ("
+        f"  SELECT unnest(spans) AS u FROM read_parquet('{paths['golden_spans']}')"
+        ") WHERE u.kind = 'media' AND u.text IS NOT NULL"
+    ).fetchone()[0]
+    assert n_prog_decoded > 0
 
 
 def test_language_validation_rejects_unknown_codes(spark, tmp_path):
