@@ -531,3 +531,40 @@ def test_vectorized_lsh_and_cosine_bit_identical(spark):
         jvm.select("i", "s").alias("j").join(pd_.select("i", "s").alias("q"), "i")
         .filter(F.col("j.s") != F.col("q.s")).count() == 0
     )
+
+
+def test_containment_rarest_anchor_defuses_hot_preamble(spark):
+    """Hot-anchor skew guard (VERDICT r4 'wrong' #1): many docs sharing
+    one viral opening preamble.  The round-4 FIRST-gram anchor made every
+    such doc a candidate against every other (quadratic: n*(n-1) pairs
+    before verify); the rarest-gram anchor keeps candidates linear —
+    each doc anchors on one of its unique-tail grams instead — while the
+    genuinely-contained pair is still found (completeness: any gram of
+    inner anchors a true containment)."""
+    from ms_ocr_spark.operators.dedup import (
+        _containment_candidates,
+        containment_dedup_pairs,
+    )
+
+    n = 200
+    preamble = " ".join(f"p{j}" for j in range(10))
+    rows = [
+        (
+            f"d{i:04d}",
+            preamble + " " + " ".join(f"u{i}x{j}" for j in range(8)),
+        )
+        for i in range(n)
+    ]
+    rows.append(("x-inner", "alpha beta gamma delta eps zeta eta theta"))
+    rows.append(
+        ("y-outer", "front alpha beta gamma delta eps zeta eta theta back")
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    n_cand = _containment_candidates(df, "doc_id", "text", 8).count()
+    # first-gram anchoring gives >= n*(n-1) = 39800 candidates here
+    assert n_cand < 2 * n, n_cand
+    pairs = {
+        (r["inner_id"], r["outer_id"])
+        for r in containment_dedup_pairs(df).collect()
+    }
+    assert pairs == {("x-inner", "y-outer")}
