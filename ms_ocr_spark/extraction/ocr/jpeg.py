@@ -134,6 +134,31 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">HH", marker, len(payload) + 2) + payload
 
 
+def _meta_segments(icc_name: str | None, exif_orientation: int | None) -> bytes:
+    """Optional APP1 EXIF (orientation tag 274 in a minimal little-endian
+    TIFF IFD) + APP2 `ICC_PROFILE` (single-chunk minimal profile whose
+    'desc' tag carries the name) — the side-values the reference keeps at
+    decode (`image_processor/main.py:58-63`), round 5 S5 parity."""
+    from ms_ocr_spark.extraction.ocr.icc import icc_profile
+
+    out = b""
+    if exif_orientation is not None:
+        tiff_ifd = (
+            b"II*\0"
+            + struct.pack("<I", 8)  # IFD offset
+            + struct.pack("<H", 1)  # one entry
+            + struct.pack("<HHI", 274, 3, 1)
+            + struct.pack("<HH", exif_orientation, 0)
+            + struct.pack("<I", 0)  # no next IFD
+        )
+        out += _seg(0xFFE1, b"Exif\0\0" + tiff_ifd)
+    if icc_name is not None:
+        out += _seg(
+            0xFFE2, b"ICC_PROFILE\0" + bytes([1, 1]) + icc_profile(icc_name)
+        )
+    return out
+
+
 def _quantize_blocks(img: np.ndarray, q: np.ndarray) -> np.ndarray:
     """uint8 HxW -> (n_blocks, 64) quantized coefficients in ZIGZAG order
     (blocks in raster order, edge-replication padding to 8x8 multiples).
@@ -170,12 +195,18 @@ def _blocks_to_pixels(zz: np.ndarray, q: np.ndarray, h: int, w: int) -> np.ndarr
 
 
 def encode_gray_jpeg(
-    img: np.ndarray, quant: np.ndarray | None = None, dpi: float | None = None
+    img: np.ndarray,
+    quant: np.ndarray | None = None,
+    dpi: float | None = None,
+    icc_name: str | None = None,
+    exif_orientation: int | None = None,
 ) -> bytes:
     """uint8 HxW array -> baseline JFIF bytes (1 component, flat quant).
 
     `dpi` lands in the JFIF APP0 density fields (units=1, dots/inch) —
-    the JPEG analog of PNG's pHYs side-value.
+    the JPEG analog of PNG's pHYs side-value; `icc_name` embeds a minimal
+    APP2 ICC profile carrying the name; `exif_orientation` an APP1 EXIF
+    IFD (S5 side-value parity with the PNG tier, round 5).
     """
     if img.dtype != np.uint8 or img.ndim != 2:
         raise ValueError("encode_gray_jpeg expects a 2-D uint8 array")
@@ -225,6 +256,7 @@ def encode_gray_jpeg(
     return (
         b"\xff\xd8"
         + _seg(0xFFE0, app0)
+        + _meta_segments(icc_name, exif_orientation)
         + _seg(0xFFDB, dqt)
         + _seg(0xFFC0, sof0)
         + _seg(0xFFC4, dht)
@@ -615,7 +647,11 @@ def _enc_ac_refine(zz: np.ndarray, ss: int, se: int, al: int) -> bytes:
 
 
 def encode_gray_jpeg_progressive(
-    img: np.ndarray, quant: np.ndarray | None = None, dpi: float | None = None
+    img: np.ndarray,
+    quant: np.ndarray | None = None,
+    dpi: float | None = None,
+    icc_name: str | None = None,
+    exif_orientation: int | None = None,
 ) -> bytes:
     """uint8 HxW array -> progressive (SOF2) JFIF bytes, 6-scan script:
 
@@ -656,6 +692,7 @@ def encode_gray_jpeg_progressive(
     return (
         b"\xff\xd8"
         + _seg(0xFFE0, app0)
+        + _meta_segments(icc_name, exif_orientation)
         + _seg(0xFFDB, dqt)
         + _seg(0xFFC2, sof2)
         + _seg(0xFFC4, dht)
@@ -924,3 +961,62 @@ def encode_multicomponent_stub(h: int = 32, w: int = 64) -> bytes:
         + bytes([3, 0x11, 1])
     )
     return b"\xff\xd8" + _seg(0xFFC0, sof0) + b"\xff\xd9"
+
+
+def jpeg_side_values(data: bytes) -> dict:
+    """Parse the decode side-values the reference keeps
+    (`image_processor/main.py:58-63`): JFIF dpi, EXIF orientation (APP1,
+    tag 274) and ICC profile name (APP2 `ICC_PROFILE`, reassembled in
+    chunk order, name from the profile's 'desc' tag).  One marker walk,
+    header-only; anything malformed degrades to null fields."""
+    from ms_ocr_spark.extraction.ocr.icc import icc_profile_name
+
+    out: dict = {"dpi": None, "icc_name": None, "orientation": None}
+    if data[:2] != b"\xff\xd8":
+        return out
+    pos = 2
+    n = len(data)
+    icc_chunks: list[tuple[int, bytes]] = []
+    try:
+        while pos + 4 <= n:
+            if data[pos] != 0xFF:
+                break
+            while pos + 4 <= n and data[pos + 1] == 0xFF:
+                pos += 1
+            if pos + 4 > n:
+                break
+            marker = data[pos + 1]
+            if marker in (0xD9, 0xDA):
+                break
+            if 0xD0 <= marker <= 0xD8 or marker == 0x01:
+                pos += 2
+                continue
+            (seg_len,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+            payload = data[pos + 4 : pos + 2 + seg_len]
+            pos += 2 + seg_len
+            if marker == 0xE0 and payload[:5] == b"JFIF\x00":
+                units, xd, _yd = struct.unpack(">BHH", payload[7:12])
+                if units == 1:
+                    out["dpi"] = float(xd)
+            elif marker == 0xE1 and payload[:6] == b"Exif\x00\x00":
+                t = payload[6:]
+                if t[:2] in (b"II", b"MM"):
+                    e = "<" if t[:2] == b"II" else ">"
+                    (ifd_off,) = struct.unpack_from(e + "I", t, 4)
+                    (cnt,) = struct.unpack_from(e + "H", t, ifd_off)
+                    for i in range(cnt):
+                        tag, typ, _c = struct.unpack_from(
+                            e + "HHI", t, ifd_off + 2 + i * 12
+                        )
+                        if tag == 274 and typ == 3:
+                            out["orientation"] = struct.unpack_from(
+                                e + "H", t, ifd_off + 2 + i * 12 + 8
+                            )[0]
+            elif marker == 0xE2 and payload[:12] == b"ICC_PROFILE\x00":
+                icc_chunks.append((payload[12], payload[14:]))
+    except (struct.error, IndexError):
+        pass
+    if icc_chunks:
+        profile = b"".join(c for _, c in sorted(icc_chunks))
+        out["icc_name"] = icc_profile_name(profile)
+    return out

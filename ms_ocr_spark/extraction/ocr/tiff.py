@@ -41,8 +41,11 @@ _T_STRIP_COUNTS = 279
 _T_XRES = 282
 _T_YRES = 283
 _T_RES_UNIT = 296
+_T_ORIENTATION = 274
+_T_ICC = 34675  # InterColorProfile (TIFF/EP), raw ICC profile bytes
 
-_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}  # BYTE ASCII SHORT LONG RATIONAL
+# BYTE ASCII SHORT LONG RATIONAL UNDEFINED
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1}
 
 
 def _packbits(data: bytes) -> bytes:
@@ -188,11 +191,16 @@ def encode_gray_tiff(
     rows_per_strip: int = 64,
     compression: int = 1,
     bits: int = 8,
+    orientation: int | None = None,
+    icc_name: str | None = None,
 ) -> bytes:
     """Gray ndarray -> little-endian multi-strip TIFF.
 
     `compression`: 1 (none), 5 (LZW) or 32773 (PackBits).
     `bits`: 8, or 16 (samples widened v -> v*257, the exact 8->16 scale).
+    `orientation`: tag 274; `icc_name`: tag 34675 with a minimal ICC
+    profile carrying the name in its 'desc' tag (round-5 S5 side-value
+    parity — the reference keeps ICC/EXIF for every decode).
     """
     if img.dtype != np.uint8 or img.ndim != 2:
         raise ValueError("encode_gray_tiff expects a 2-D uint8 array")
@@ -230,7 +238,12 @@ def encode_gray_tiff(
         off += len(s)
     ifd_off = off
 
-    n_entries = 9 + (3 if dpi else 0)
+    n_entries = (
+        9
+        + (3 if dpi else 0)
+        + (1 if orientation else 0)
+        + (1 if icc_name else 0)
+    )
     ifd_size = 2 + n_entries * 12 + 4
     extra_off = ifd_off + ifd_size
 
@@ -266,6 +279,15 @@ def encode_gray_tiff(
         _entry(_T_XRES, 5, 1, _rational(dpi))
         _entry(_T_YRES, 5, 1, _rational(dpi))
         _entry(_T_RES_UNIT, 3, 1, 2)  # inch
+    if orientation:
+        _entry(_T_ORIENTATION, 3, 1, orientation)
+    if icc_name:
+        from ms_ocr_spark.extraction.ocr.icc import icc_profile
+
+        prof = icc_profile(icc_name)
+        slot = extra_off + len(extra)
+        extra += prof
+        _entry(_T_ICC, 7, len(prof), slot)
 
     out = [struct.pack("<2sHI", b"II", 42, ifd_off)]
     out.extend(strips)
@@ -315,7 +337,7 @@ def _read_ifd(data: bytes, e: str, off: int) -> dict[int, list[int]]:
         elif typ == 5:
             raw = struct.unpack_from(e + "II" * count, data, voff)
             vals = [raw[2 * k] // max(raw[2 * k + 1], 1) for k in range(count)]
-        elif typ == 1:
+        elif typ in (1, 7):
             vals = list(data[voff : voff + count])
         else:
             continue
@@ -449,3 +471,21 @@ def tiff_dpi(data: bytes) -> float | None:
     if unit == 3:  # dots/cm
         return float(tags[_T_XRES][0]) * 2.54
     return None
+
+
+def tiff_side_values(data: bytes) -> dict:
+    """Decode side-values (S5 parity, round 5): XResolution dpi,
+    Orientation (tag 274), ICC profile name (tag 34675 'desc').
+    Malformed structure degrades to null fields."""
+    from ms_ocr_spark.extraction.ocr.icc import icc_profile_name
+
+    out: dict = {"dpi": tiff_dpi(data), "icc_name": None, "orientation": None}
+    try:
+        tags, _ = _parse(data)
+    except (ValueError, struct.error, IndexError):
+        return out
+    if _T_ORIENTATION in tags and tags[_T_ORIENTATION]:
+        out["orientation"] = int(tags[_T_ORIENTATION][0])
+    if _T_ICC in tags:
+        out["icc_name"] = icc_profile_name(bytes(tags[_T_ICC]))
+    return out

@@ -100,36 +100,34 @@ def image_metadata(media: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Decode payloads (real PNG decode) -> per-image metadata rows."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ms_ocr_spark.extraction.ocr.jpeg import decode_gray_jpeg, jfif_density
+        from ms_ocr_spark.extraction.ocr.jpeg import (
+            decode_gray_jpeg,
+            jpeg_side_values,
+        )
         from ms_ocr_spark.extraction.ocr.png import decode_gray, side_values
-        from ms_ocr_spark.extraction.ocr.tiff import decode_gray_tiff, tiff_dpi
+        from ms_ocr_spark.extraction.ocr.tiff import (
+            decode_gray_tiff,
+            tiff_side_values,
+        )
 
         for pdf in batches:
             rows = []
             for ref, buf in zip(pdf["media_ref"], pdf[payload_col]):
                 fmt = sniff_format(bytes(buf) if buf is not None else None)
                 try:
+                    # side-value parity across all three containers
+                    # (round 5, S5): dpi + ICC name + EXIF orientation
+                    # from pHYs/iCCP/eXIf (PNG), JFIF/APP2/APP1 (JPEG),
+                    # XResolution/34675/274 (TIFF)
                     if fmt == "png":
                         img = decode_gray(bytes(buf))
                         sv = side_values(bytes(buf))
                     elif fmt == "tiff":
                         img = decode_gray_tiff(bytes(buf))
-                        # TIFF side-values: XResolution dpi only (mirrors
-                        # the datagen golden's meta_rows for tiff tiers)
-                        sv = {
-                            "dpi": tiff_dpi(bytes(buf)),
-                            "icc_name": None,
-                            "orientation": None,
-                        }
+                        sv = tiff_side_values(bytes(buf))
                     elif fmt == "jpeg":
                         img = decode_gray_jpeg(bytes(buf))
-                        # JPEG side-values: JFIF density only (no
-                        # iCCP/eXIf analog in this codec's scope)
-                        sv = {
-                            "dpi": jfif_density(bytes(buf)),
-                            "icc_name": None,
-                            "orientation": None,
-                        }
+                        sv = jpeg_side_values(bytes(buf))
                     else:
                         raise ValueError("unknown format")
                     # rounded to 6dp with Python round(): bit-identical to

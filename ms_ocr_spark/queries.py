@@ -1859,6 +1859,33 @@ def media_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REGISTRY.append(("media_image_metadata", media_image_metadata, None))
 
 
+def media_image_metadata_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata over the THREE-codec tier corpus (PNG + JPEG +
+    TIFF compression/bit-depth variants): verifies round-5 side-value
+    parity — dpi, ICC profile name and EXIF orientation extracted from
+    every container format (PNG pHYs/iCCP/eXIf, JPEG JFIF/APP2/APP1,
+    TIFF XResolution/34675/274; reference keeps ICC+EXIF per decode,
+    `image_processor/main.py:58-63`).  Oracle = the tier's
+    golden_media_meta parquet (computed from generation-time values,
+    independent of the decode path)."""
+    from ms_ocr_spark.operators.multimodal import image_metadata
+
+    media = spark.read.parquet(_corpus_paths_tiff()["media_store"])
+    return image_metadata(media)
+
+
+_REGISTRY.append(("media_image_metadata_mixed", media_image_metadata_mixed, None))
+
+
+def _media_meta_mixed_oracle() -> str:
+    paths = _corpus_paths_tiff()
+    return (
+        "SELECT media_ref, width, height, ink_ratio, mean_intensity, format, "
+        "dpi, icc_name, orientation "
+        f"FROM read_parquet('{paths['golden_media_meta']}')"
+    )
+
+
 def _corpus_paths_quarantine(n_docs: int = 40) -> dict[str, str]:
     """Corrupted-media corpus: ~15% garbage payloads (admission reject),
     ~10% header-only truncated SOF2 stubs, ~10% color-JPEG headers, ~10%
@@ -2090,6 +2117,7 @@ _LAZY_ORACLES: dict[str, Callable[[], str]] = {
     "extract_spans_ja": _extract_spans_ja_oracle,
     "extract_spans_rgb": _extract_spans_rgb_oracle,
     "media_image_metadata": _media_meta_oracle,
+    "media_image_metadata_mixed": _media_meta_mixed_oracle,
     "media_audio_features": _audio_features_oracle,
     "quarantine_media_reasons": _quarantine_oracle,
     "dedup_boxes_keep_first": _keepfirst_golden_oracle,

@@ -592,7 +592,12 @@ def _gen_chunk(args: tuple) -> tuple[list, list, list, list, list]:
                         hv % 5
                     ]
                     payload = encode_gray_tiff(
-                        img, dpi=side["dpi"], compression=comp, bits=tbits
+                        img,
+                        dpi=side["dpi"],
+                        compression=comp,
+                        bits=tbits,
+                        orientation=side["orientation"],
+                        icc_name=side["icc"][0] if side["icc"] else None,
                     )
                     meta_rows.append(
                         {
@@ -603,8 +608,8 @@ def _gen_chunk(args: tuple) -> tuple[list, list, list, list, list]:
                             "mean_intensity": round(float(img.mean()), 6),
                             "format": "tiff",
                             "dpi": float(round(side["dpi"])) if side["dpi"] else None,
-                            "icc_name": None,
-                            "orientation": None,
+                            "icc_name": side["icc"][0] if side["icc"] else None,
+                            "orientation": side["orientation"],
                         }
                     )
                 elif is_jpeg or is_prog_jpeg:
@@ -621,7 +626,12 @@ def _gen_chunk(args: tuple) -> tuple[list, list, list, list, list]:
                         if is_prog_jpeg
                         else encode_gray_jpeg
                     )
-                    payload = enc(img, dpi=side["dpi"])
+                    payload = enc(
+                        img,
+                        dpi=side["dpi"],
+                        icc_name=side["icc"][0] if side["icc"] else None,
+                        exif_orientation=side["orientation"],
+                    )
                     dec = decode_gray_jpeg(payload)
                     meta_rows.append(
                         {
@@ -632,8 +642,8 @@ def _gen_chunk(args: tuple) -> tuple[list, list, list, list, list]:
                             "mean_intensity": round(float(dec.mean()), 6),
                             "format": "jpeg",
                             "dpi": float(round(side["dpi"])) if side["dpi"] else None,
-                            "icc_name": None,
-                            "orientation": None,
+                            "icc_name": side["icc"][0] if side["icc"] else None,
+                            "orientation": side["orientation"],
                         }
                     )
                 elif is_rgb:
@@ -782,8 +792,9 @@ def write_corpus(out_dir: str, n_docs: int, seed: int = 42, **kw) -> dict[str, s
     #        PackBits/16-bit)
     # fmt 5: progressive JPEGs decode — quarantine reasons reclassified
     #        (truncated_jpeg / unsupported_jpeg_layout), prog tier added
+    # fmt 6: JPEG/TIFF tiers embed ICC + EXIF-orientation side-values
     params = {
-        "fmt": 5,
+        "fmt": 6,
         "n_docs": n_docs,
         "seed": seed,
         **{k: kw[k] for k in sorted(kw) if k != "processes"},

@@ -208,3 +208,39 @@ def test_progressive_tier_ocr_exact():
             n_prog += 1
         assert decode_image(decode_media(buf)) == row["truth_text"]
     assert n_prog > 0
+
+
+def test_jpeg_side_values_round_trip():
+    """APP1 EXIF orientation + APP2 ICC name + JFIF dpi parse back from
+    both baseline and progressive encodings (S5 side-value parity)."""
+    from ms_ocr_spark.extraction.ocr.jpeg import jpeg_side_values
+
+    img = np.full((24, 40), 180, dtype=np.uint8)
+    for enc in (encode_gray_jpeg, encode_gray_jpeg_progressive):
+        b = enc(img, dpi=150.0, icc_name="synthetic-gray", exif_orientation=1)
+        assert jpeg_side_values(b) == {
+            "dpi": 150.0,
+            "icc_name": "synthetic-gray",
+            "orientation": 1,
+        }
+        # side segments never perturb pixel decode
+        assert np.array_equal(decode_gray_jpeg(b), decode_gray_jpeg(enc(img)))
+        assert jpeg_side_values(enc(img)) == {
+            "dpi": None,
+            "icc_name": None,
+            "orientation": None,
+        }
+    assert jpeg_side_values(b"garbage") == {
+        "dpi": None,
+        "icc_name": None,
+        "orientation": None,
+    }
+
+
+def test_icc_profile_name_rejects_garbage():
+    from ms_ocr_spark.extraction.ocr.icc import icc_profile, icc_profile_name
+
+    assert icc_profile_name(icc_profile("abc")) == "abc"
+    assert icc_profile_name(b"\x00" * 200) is None
+    assert icc_profile_name(b"short") is None
+    assert icc_profile_name(None) is None

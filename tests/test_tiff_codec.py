@@ -125,3 +125,42 @@ def test_tiff_tier_ocr_exact():
             n_tiff += 1
         assert decode_image(decode_media(buf)) == row["truth_text"]
     assert n_tiff >= 3, f"tier produced too few TIFFs ({n_tiff})"
+
+
+def test_tiff_side_values_round_trip():
+    """Orientation tag 274 + ICC tag 34675 + XResolution dpi parse back
+    across every compression/bit-depth variant (S5 side-value parity);
+    extra tags never perturb pixel decode or the scope probe."""
+    import numpy as np
+
+    from ms_ocr_spark.extraction.ocr.tiff import (
+        decode_gray_tiff,
+        encode_gray_tiff,
+        tiff_scope_reason,
+        tiff_side_values,
+    )
+
+    img = np.full((30, 44), 90, dtype=np.uint8)
+    img[5:9, 10:30] = 0
+    for comp in (1, 5, 32773):
+        for bits in (8, 16):
+            b = encode_gray_tiff(
+                img,
+                dpi=200.0,
+                compression=comp,
+                bits=bits,
+                orientation=1,
+                icc_name="synthetic-gray",
+            )
+            assert np.array_equal(decode_gray_tiff(b), img)
+            assert tiff_side_values(b) == {
+                "dpi": 200.0,
+                "icc_name": "synthetic-gray",
+                "orientation": 1,
+            }
+            assert tiff_scope_reason(b) is None
+    assert tiff_side_values(encode_gray_tiff(img)) == {
+        "dpi": None,
+        "icc_name": None,
+        "orientation": None,
+    }
