@@ -1,11 +1,11 @@
 """Multimodal column operators: opaque binary payloads + typed metadata.
 
-Images are REAL here (the engine ships its own PNG/JPEG/TIFF codecs), so
-decode / resize / feature-extract run genuinely inside `mapInPandas`.
-Audio is REAL too (round 4): RIFF/WAVE PCM-16 parsed with the stdlib
-`wave` module.  Video frame-sampling requires codecs this container
-lacks: the Spark-side plumbing (schema, batching, fan-out) is real and
-tested, while the decode call is a deterministic fake clearly marked STUB.
+Everything here is REAL decode — no stubs remain (round 5):
+  * images: the engine's own PNG/JPEG(baseline+progressive)/TIFF codecs
+  * audio (round 4): RIFF/WAVE PCM-16 via the stdlib `wave` module
+  * video (round 5): MJPEG-in-AVI — the engine's own RIFF walker + its
+    own baseline-JPEG decoder (`extraction/ocr/avi.py`), zero external
+    codecs
 
 Pattern notes (100 TB): mapInPandas streams Arrow batches through one
 Python worker per core — payload bytes never round-trip the driver;
@@ -227,39 +227,54 @@ FRAME_SCHEMA = T.StructType(
     [
         T.StructField("media_ref", T.StringType()),
         T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("ink_ratio", T.DoubleType()),
+        T.StructField("mean_intensity", T.DoubleType()),
         T.StructField("frame_sha", T.StringType()),
     ]
 )
 
 
 def video_frame_sample(
-    media: DataFrame, every_n: int = 10, payload_col: str = "payload"
+    media: DataFrame, every_n: int = 3, payload_col: str = "payload"
 ) -> DataFrame:
-    """STUB: video frame sampling — no video codec in this container.
-
-    The Spark plumbing (mapInPandas fan-out: one input row -> many frame
-    rows) is real; the "decode" is a deterministic fake that derives
-    pseudo-frames from the payload hash.  Swap `_fake_frames` for a real
-    codec call in production.
-    """
-
-    def _fake_frames(buf: bytes, every_n: int) -> list[tuple[int, str]]:
-        import hashlib
-
-        n_frames = (len(buf) % 91) + 10  # deterministic fake frame count
-        out = []
-        for idx in range(0, n_frames, every_n):
-            out.append(
-                (idx, hashlib.md5(buf[:64] + str(idx).encode()).hexdigest())
-            )
-        return out
+    """REAL video frame sampling (round 5 — the last stub closed): MJPEG
+    AVI payloads are parsed by the engine's own RIFF walker and each
+    sampled frame decoded by its own baseline-JPEG codec
+    (`extraction/ocr/avi.py`) — zero external codecs.  One input row
+    fans out to one row per sampled frame (index, size, ink/intensity
+    features, md5 of the decoded pixels); undecodable payloads yield a
+    single all-null row, mirroring the image/audio quarantine contract.
+    Same 100-TB shape as the other media paths: payloads stream through
+    Arrow batches inside mapInPandas, never the driver."""
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from ms_ocr_spark.extraction.ocr.avi import avi_frames
+
         for pdf in batches:
             rows = []
             for ref, buf in zip(pdf["media_ref"], pdf[payload_col]):
-                for idx, sha in _fake_frames(bytes(buf), every_n):
-                    rows.append((ref, idx, sha))
+                try:
+                    frames = avi_frames(bytes(buf))
+                except Exception:
+                    rows.append((ref, None, None, None, None, None, None))
+                    continue
+                for idx in range(0, len(frames), every_n):
+                    f = frames[idx]
+                    rows.append(
+                        (
+                            ref,
+                            idx,
+                            int(f.shape[1]),
+                            int(f.shape[0]),
+                            round(float((f < 128).mean()), 6),
+                            round(float(f.mean()), 6),
+                            hashlib.md5(f.tobytes()).hexdigest(),
+                        )
+                    )
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
 
     return media.select("media_ref", payload_col).mapInPandas(

@@ -1974,6 +1974,43 @@ def _audio_features_oracle() -> str:
     )
 
 
+def _video_corpus_paths(n_clips: int = 60) -> dict[str, str]:
+    import os
+
+    from ms_ocr_spark.sources.datagen import write_video_corpus
+
+    cache = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), ".cache", f"video_{n_clips}"
+    )
+    return write_video_corpus(cache, n_clips=n_clips, seed=42)
+
+
+def media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling over binary MJPEG-AVI payloads (round 5 —
+    the last stub closed): the engine's own RIFF walker + baseline-JPEG
+    decoder inside mapInPandas, one row per sampled frame with size/ink
+    features and an md5 of the decoded pixels; garbage payloads yield a
+    single all-null row.  Oracle = the generator's golden_video_frames
+    parquet (straight-line derivation from the pre-encode frames,
+    independent of the engine's container parse)."""
+    from ms_ocr_spark.operators.multimodal import video_frame_sample
+
+    media = spark.read.parquet(_video_corpus_paths()["video_media"])
+    return video_frame_sample(media, every_n=3)
+
+
+_REGISTRY.append(("media_video_frames", media_video_frames, None))
+
+
+def _video_frames_oracle() -> str:
+    paths = _video_corpus_paths()
+    return (
+        "SELECT media_ref, frame_idx, width, height, ink_ratio, "
+        "mean_intensity, frame_sha "
+        f"FROM read_parquet('{paths['golden_video_frames']}')"
+    )
+
+
 def _media_meta_oracle() -> str:
     paths = _corpus_paths()
     return (
@@ -2119,6 +2156,7 @@ _LAZY_ORACLES: dict[str, Callable[[], str]] = {
     "media_image_metadata": _media_meta_oracle,
     "media_image_metadata_mixed": _media_meta_mixed_oracle,
     "media_audio_features": _audio_features_oracle,
+    "media_video_frames": _video_frames_oracle,
     "quarantine_media_reasons": _quarantine_oracle,
     "dedup_boxes_keep_first": _keepfirst_golden_oracle,
     "table_cells_from_media": _table_cells_oracle,

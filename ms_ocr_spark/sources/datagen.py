@@ -1078,3 +1078,118 @@ def write_table_corpus(out_dir: str, n_tables: int, seed: int = 42) -> dict[str,
     with open(params_path, "w") as f:
         json.dump(params, f)
     return paths
+
+
+# ---------------------------------------------------------------------------
+# Video tier (round 5 — the last stub closed): deterministic MJPEG-in-AVI
+# payloads + independent frame golden.  Golden features hash the DECODED
+# frame pixels (the baseline-JPEG round trip, same contract as the lossy
+# jpeg image tier), derived straight-line here — independent of the
+# engine's RIFF walker and sampling operator.
+# ---------------------------------------------------------------------------
+
+VIDEO_MEDIA_SCHEMA = pa.schema([("media_ref", pa.string()), ("payload", pa.binary())])
+VIDEO_GOLDEN_SCHEMA = pa.schema(
+    [
+        ("media_ref", pa.string()),
+        ("frame_idx", pa.int32()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("ink_ratio", pa.float64()),
+        ("mean_intensity", pa.float64()),
+        ("frame_sha", pa.string()),
+    ]
+)
+
+
+def _video_frames(seed: int, vi: int) -> list[np.ndarray]:
+    """Deterministic clip: a dark block sweeping across a light field,
+    plus per-frame seeded pepper noise (size/count vary per clip)."""
+    h = _h(seed, "avi", vi)
+    fh, fw = 24 + (h % 4) * 8, 40 + ((h >> 3) % 4) * 8
+    n_frames = 6 + (h >> 6) % 18
+    frames = []
+    for t in range(n_frames):
+        f = np.full((fh, fw), 235, dtype=np.uint8)
+        x0 = (3 + t * 5) % max(1, fw - 10)
+        y0 = (2 + t * 3) % max(1, fh - 8)
+        f[y0 : y0 + 8, x0 : x0 + 10] = 20
+        rng = np.random.default_rng(_h(seed, "avinoise", vi, t))
+        ys = rng.integers(0, fh, 12)
+        xs = rng.integers(0, fw, 12)
+        f[ys, xs] = 0
+        frames.append(f)
+    return frames
+
+
+def write_video_corpus(
+    out_dir: str, n_clips: int, seed: int = 42, every_n: int = 3
+) -> dict[str, str]:
+    """Write (video_media, golden_video_frames) parquet.  ~1 in 8 clips
+    is a garbage payload (golden: single all-null row — the operator's
+    quarantine contract); the rest are real MJPEG AVIs with golden rows
+    for every `every_n`-th frame."""
+    import hashlib as _hl
+    import json
+
+    from ms_ocr_spark.extraction.ocr.avi import encode_mjpeg_avi
+    from ms_ocr_spark.extraction.ocr.jpeg import decode_gray_jpeg, encode_gray_jpeg
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = {
+        name: os.path.join(out_dir, f"{name}.parquet")
+        for name in ("video_media", "golden_video_frames")
+    }
+    params = {"n_clips": n_clips, "seed": seed, "every_n": every_n, "fmt": 1}
+    params_path = os.path.join(out_dir, "params.json")
+    if all(os.path.exists(p) for p in paths.values()) and os.path.exists(params_path):
+        with open(params_path) as f:
+            if json.load(f) == params:
+                return paths
+    media_rows, golden_rows = [], []
+    for vi in range(n_clips):
+        ref = f"avi-{vi:06d}"
+        if _h(seed, "avibad", vi) % 8 == 0:
+            payload = b"NOT-AN-AVI" + _hl.md5(f"bad:{ref}".encode()).digest()
+            media_rows.append({"media_ref": ref, "payload": payload})
+            golden_rows.append(
+                {
+                    "media_ref": ref,
+                    "frame_idx": None,
+                    "width": None,
+                    "height": None,
+                    "ink_ratio": None,
+                    "mean_intensity": None,
+                    "frame_sha": None,
+                }
+            )
+            continue
+        frames = _video_frames(seed, vi)
+        media_rows.append(
+            {"media_ref": ref, "payload": encode_mjpeg_avi(frames, fps=10)}
+        )
+        for idx in range(0, len(frames), every_n):
+            dec = decode_gray_jpeg(encode_gray_jpeg(frames[idx]))
+            golden_rows.append(
+                {
+                    "media_ref": ref,
+                    "frame_idx": idx,
+                    "width": int(dec.shape[1]),
+                    "height": int(dec.shape[0]),
+                    "ink_ratio": round(float((dec < 128).mean()), 6),
+                    "mean_intensity": round(float(dec.mean()), 6),
+                    "frame_sha": _hl.md5(dec.tobytes()).hexdigest(),
+                }
+            )
+    pq.write_table(
+        pa.Table.from_pylist(media_rows, schema=VIDEO_MEDIA_SCHEMA),
+        paths["video_media"],
+        row_group_size=500,
+    )
+    pq.write_table(
+        pa.Table.from_pylist(golden_rows, schema=VIDEO_GOLDEN_SCHEMA),
+        paths["golden_video_frames"],
+    )
+    with open(params_path, "w") as f:
+        json.dump(params, f)
+    return paths

@@ -84,11 +84,26 @@ def test_image_metadata_and_resize(spark, corpus_dir):
     assert (small[["width", "height"]].max(axis=1) <= 32).all()
 
 
-def test_video_frame_sample_fanout(spark, corpus_dir):
-    media = spark.read.parquet(f"{corpus_dir}/media_store.parquet").limit(5)
-    frames = video_frame_sample(media, every_n=5).toPandas()
-    assert len(frames) > 5  # one row in -> many frame rows out
-    assert frames.groupby("media_ref").frame_idx.is_monotonic_increasing.all()
+def test_video_frame_sample_fanout(spark, tmp_path):
+    """Round 5 (stub closed): real MJPEG-AVI clips fan out to one row
+    per sampled frame with correct features; non-AVI payloads yield a
+    single all-null row (quarantine contract), never a task failure."""
+    from ms_ocr_spark.sources.datagen import write_video_corpus
+
+    paths = write_video_corpus(str(tmp_path / "vid"), n_clips=16, seed=7)
+    media = spark.read.parquet(paths["video_media"])
+    frames = video_frame_sample(media, every_n=3).toPandas()
+    golden = spark.read.parquet(paths["golden_video_frames"]).toPandas()
+    assert len(frames) > 16  # one row in -> many frame rows out
+    ok = frames[frames.frame_idx.notna()]
+    assert ok.groupby("media_ref").frame_idx.is_monotonic_increasing.all()
+    # exact match against the straight-line golden (incl. null rows)
+    key = ["media_ref", "frame_idx", "frame_sha"]
+    left = frames[key].fillna("-").sort_values(key).reset_index(drop=True)
+    right = golden[key].fillna("-").sort_values(key).reset_index(drop=True)
+    assert left.equals(right)
+    # the garbage class is present and null
+    assert (frames.frame_idx.isna()).any()
 
 
 def test_audio_features_matches_golden(spark, tmp_path):
