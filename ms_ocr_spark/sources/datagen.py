@@ -793,8 +793,10 @@ def write_corpus(out_dir: str, n_docs: int, seed: int = 42, **kw) -> dict[str, s
     # fmt 5: progressive JPEGs decode — quarantine reasons reclassified
     #        (truncated_jpeg / unsupported_jpeg_layout), prog tier added
     # fmt 6: JPEG/TIFF tiers embed ICC + EXIF-orientation side-values
+    # fmt 7: kana charset widened with hiragana + voiced (dakuten/
+    #        handakuten multi-component) glyphs — ja tiers regenerate
     params = {
-        "fmt": 6,
+        "fmt": 7,
         "n_docs": n_docs,
         "seed": seed,
         **{k: kw[k] for k in sorted(kw) if k != "processes"},

@@ -29,17 +29,31 @@ from ms_ocr_spark.extraction.ocr.kernel import (
 
 def test_kana_disjoint_from_latin():
     assert not set(KANA_ALPHABET) & set(ALPHABET)
-    assert len(KANA_ALPHABET) >= 24
+    assert len(KANA_ALPHABET) >= 48  # round 5: katakana + hiragana + voiced
 
 
-def test_kana_glyphs_single_component_full_height():
-    """Each kana must be ONE 8-connected component (the CC segmenter would
-    otherwise split it in one of the two layouts) spanning rows 0..6
-    (always the tall size class — kana has no x-height tier)."""
+def test_kana_glyphs_component_structure_full_height():
+    """Unvoiced kana must be ONE 8-connected component spanning rows 0..6
+    (always the tall size class — kana has no x-height tier).  VOICED
+    kana (round 5) are exactly TWO components: a diacritic mark at rows
+    0-1 / cols 3-4 plus a base at rows 2-6 whose row-2 ink stays in cols
+    0-1 — the geometry that makes the kernel's existing x-overlap /
+    y-gap proximity merges group mark with base in BOTH layouts."""
+    from ms_ocr_spark.extraction.ocr.glyphs import VOICED_KANA
+
     for ch in KANA_ALPHABET:
         bm = glyph_bitmap(ch)
         assert bm[0].any() and bm[-1].any(), ch
-        assert len(connected_components(bm)) == 1, ch
+        if ch in VOICED_KANA:
+            assert len(connected_components(bm)) == 2, ch
+            assert not bm[:2, :3].any(), ch  # mark confined to cols 3-4
+            assert not bm[2, 2:].any(), ch  # base row 2 clear of the mark
+            # mark x-range overlaps base x-range (horizontal merge key)
+            mark_cols = np.nonzero(bm[:2].any(axis=0))[0]
+            base_cols = np.nonzero(bm[2:].any(axis=0))[0]
+            assert mark_cols.min() <= base_cols.max(), ch
+        else:
+            assert len(connected_components(bm)) == 1, ch
 
 
 def test_kana_margin_within_gates():
@@ -89,6 +103,61 @@ def test_kana_vertical_decode_right_to_left():
     ]
     img = render_placed(placed)
     assert decode_image(img, "ja_vert") == "\n".join(cols)
+
+
+@pytest.mark.parametrize("deg", [-3.0, -1.5, 0.0, 2.0, 3.0])
+def test_voiced_hiragana_horizontal_decode(deg):
+    """Dakuten/handakuten glyphs are TWO components; the in-line
+    x-overlap merge must group mark+base into one glyph box under the
+    full corpus rotation grid, and the merged crop must decode to the
+    voiced character (not its bare base)."""
+    txt = "がさ くに\nばねこ ぴあ"
+    img = render_text(txt)
+    if deg:
+        img = rotate_bilinear(img, deg)
+    assert decode_image(img, "ja") == txt
+
+
+def test_voiced_hiragana_vertical_decode():
+    """Vertical columns: the mark ends exactly where the base starts
+    (zero y-gap), so the column y-merge groups them; columns still read
+    right to left."""
+    from ms_ocr_spark.extraction.ocr.glyphs import render_placed
+    from ms_ocr_spark.sources.datagen import (
+        _VCHAR_PITCH_FPX,
+        _VCOL_PITCH_FPX,
+    )
+
+    cols = ["がばこ", "ぴだて", "ざねぷ"]
+    n = len(cols)
+    placed = [
+        ((n - 1 - li) * _VCOL_PITCH_FPX, ci * _VCHAR_PITCH_FPX, ch)
+        for li, col in enumerate(cols)
+        for ci, ch in enumerate(col)
+    ]
+    img = render_placed(placed)
+    assert decode_image(img, "ja_vert") == "\n".join(cols)
+
+
+def test_voiced_kana_datagen_round_trip():
+    """The datagen ja/ja_vert renderers (seeded rotation + noise) must
+    round-trip truths containing voiced glyphs exactly — the property
+    the driver's extract_spans_ja hash check rests on."""
+    from ms_ocr_spark.sources.datagen import (
+        make_kana_truth,
+        make_vertical_square_truth,
+        render_media_image,
+        render_vertical_image,
+    )
+
+    n_voiced = 0
+    for i in range(24):
+        t = make_vertical_square_truth(49, i, 0)
+        assert decode_image(render_vertical_image(49, f"x{i}", t), "ja_vert") == t
+        t2 = make_kana_truth(49, i, 0)
+        assert decode_image(render_media_image(49, f"y{i}", t2), "ja") == t2
+        n_voiced += sum(c in "がざだばぴぷ" for c in t + t2)
+    assert n_voiced > 0  # the widened charset actually exercises voiced
 
 
 def test_latin_decode_unaffected_by_kana_charset():
