@@ -207,3 +207,17 @@ def test_partition_pruning_on_partitioned_output(spark, corpus_dir, tmp_path):
     plan = _plan(df)
     assert "PartitionFilters: [isnotnull(bucket" in plan or "PartitionFilters: [(bucket" in plan
     assert df.count() > 0
+
+
+def test_containment_candidates_cache_gram_relation_once(spark):
+    """Round 5 rarest-gram anchor: the (doc, gram) relation feeds three
+    consumers (frequency agg, anchor pick, outer join side) — all three
+    must read the CACHED relation, never recompute the tokenize+explode
+    subtree per consumer."""
+    from ms_ocr_spark.queries import containment_dedup_pairs
+
+    plan = _plan(containment_dedup_pairs(spark, "/root/testdata/sf0.001"))
+    # all three consumers read the cache (the tokenize+explode subtree
+    # inside InMemoryRelation executes once, however often its plan text
+    # is printed — same invariant as the LSH band-key test)
+    assert plan.count("InMemoryTableScan") >= 3
