@@ -194,12 +194,44 @@ def _blocks_to_pixels(zz: np.ndarray, q: np.ndarray, h: int, w: int) -> np.ndarr
     return np.clip(np.round(out), 0, 255).astype(np.uint8)[:h, :w]
 
 
+def _encode_baseline_block(bw: _BitWriter, blk: np.ndarray, prev_dc: int) -> int:
+    """Entropy-code one zigzag block (baseline DC diff + AC run/size);
+    returns the new DC predictor."""
+    diff = int(blk[0]) - prev_dc
+    size, code = _magnitude(diff)
+    c, ln = _DC_ENC[size]
+    bw.write(c, ln)
+    if size:
+        bw.write(code, size)
+    run = 0
+    last_nz = int(np.nonzero(blk[1:])[0][-1]) + 1 if np.any(blk[1:]) else 0
+    for i in range(1, last_nz + 1):
+        v = int(blk[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = _AC_ENC[0xF0]  # ZRL
+            bw.write(c, ln)
+            run -= 16
+        size, code = _magnitude(v)
+        c, ln = _AC_ENC[(run << 4) | size]
+        bw.write(c, ln)
+        bw.write(code, size)
+        run = 0
+    if last_nz < 63:
+        c, ln = _AC_ENC[0x00]  # EOB
+        bw.write(c, ln)
+    return int(blk[0])
+
+
 def encode_gray_jpeg(
     img: np.ndarray,
     quant: np.ndarray | None = None,
     dpi: float | None = None,
     icc_name: str | None = None,
     exif_orientation: int | None = None,
+    restart_interval: int | None = None,
 ) -> bytes:
     """uint8 HxW array -> baseline JFIF bytes (1 component, flat quant).
 
@@ -207,6 +239,9 @@ def encode_gray_jpeg(
     the JPEG analog of PNG's pHYs side-value; `icc_name` embeds a minimal
     APP2 ICC profile carrying the name; `exif_orientation` an APP1 EXIF
     IFD (S5 side-value parity with the PNG tier, round 5).
+    `restart_interval` emits a DRI segment and RSTn markers every that
+    many blocks (T.81 B.2.1.2 — camera JPEGs use restarts routinely;
+    each segment re-byte-aligns and resets the DC predictor).
     """
     if img.dtype != np.uint8 or img.ndim != 2:
         raise ValueError("encode_gray_jpeg expects a 2-D uint8 array")
@@ -214,35 +249,25 @@ def encode_gray_jpeg(
     q = _FLAT_QUANT if quant is None else np.asarray(quant, dtype=np.int64).ravel()
     zz = _quantize_blocks(img, q)
 
-    bw = _BitWriter()
-    prev_dc = 0
-    for blk in zz:
-        diff = int(blk[0]) - prev_dc
-        prev_dc = int(blk[0])
-        size, code = _magnitude(diff)
-        c, ln = _DC_ENC[size]
-        bw.write(c, ln)
-        if size:
-            bw.write(code, size)
-        run = 0
-        last_nz = int(np.nonzero(blk[1:])[0][-1]) + 1 if np.any(blk[1:]) else 0
-        for i in range(1, last_nz + 1):
-            v = int(blk[i])
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                c, ln = _AC_ENC[0xF0]  # ZRL
-                bw.write(c, ln)
-                run -= 16
-            size, code = _magnitude(v)
-            c, ln = _AC_ENC[(run << 4) | size]
-            bw.write(c, ln)
-            bw.write(code, size)
-            run = 0
-        if last_nz < 63:
-            c, ln = _AC_ENC[0x00]  # EOB
-            bw.write(c, ln)
+    if restart_interval:
+        parts: list[bytes] = []
+        for si, lo in enumerate(range(0, len(zz), restart_interval)):
+            bw = _BitWriter()
+            prev_dc = 0
+            for blk in zz[lo : lo + restart_interval]:
+                prev_dc = _encode_baseline_block(bw, blk, prev_dc)
+            parts.append(bw.flush())
+        entropy = b""
+        for si, p in enumerate(parts):
+            if si:
+                entropy += bytes([0xFF, 0xD0 + ((si - 1) % 8)])
+            entropy += p
+    else:
+        bw = _BitWriter()
+        prev_dc = 0
+        for blk in zz:
+            prev_dc = _encode_baseline_block(bw, blk, prev_dc)
+        entropy = bw.flush()
 
     density = (1, round(dpi), round(dpi)) if dpi else (0, 1, 1)
     app0 = b"JFIF\x00\x01\x01" + struct.pack(">BHHBB", *density, 0, 0)
@@ -253,6 +278,11 @@ def encode_gray_jpeg(
         + b"\x10" + bytes(_AC_BITS[1:]) + bytes(_AC_VALS)
     )
     sos = b"\x01" + bytes([1, 0x00]) + b"\x00\x3f\x00"
+    dri = (
+        _seg(0xFFDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     return (
         b"\xff\xd8"
         + _seg(0xFFE0, app0)
@@ -260,8 +290,9 @@ def encode_gray_jpeg(
         + _seg(0xFFDB, dqt)
         + _seg(0xFFC0, sof0)
         + _seg(0xFFC4, dht)
+        + dri
         + _seg(0xFFDA, sos)
-        + bw.flush()
+        + entropy
         + b"\xff\xd9"
     )
 
@@ -320,6 +351,37 @@ def _read_huff(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
     raise ValueError("bad huffman code")
 
 
+def _split_restart_segments(data: bytes) -> list[bytes]:
+    """Split entropy-coded data at RSTn markers (T.81 B.2.1.2): returns
+    the byte runs between restart markers, stopping at the first
+    non-restart marker (EOI/next segment).  Stuffed 0xFF00 pairs stay in
+    the segments (the bit reader unstuffs); fill bytes before markers are
+    consumed."""
+    segs: list[bytes] = []
+    cur = 0
+    i = 0
+    n = len(data)
+    while i + 1 < n:
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        if data[i + 1] == 0x00:  # stuffed data byte
+            i += 2
+            continue
+        j = i  # fill bytes: 0xFF runs before the marker byte
+        while j + 1 < n and data[j + 1] == 0xFF:
+            j += 1
+        if j + 1 < n and 0xD0 <= data[j + 1] <= 0xD7:
+            segs.append(data[cur:i])
+            i = j + 2
+            cur = i
+            continue
+        segs.append(data[cur:i])  # real marker: end of scan
+        return segs
+    segs.append(data[cur:n])
+    return segs
+
+
 def decode_gray_jpeg(data: bytes) -> np.ndarray:
     """Grayscale JFIF bytes -> uint8 HxW array (baseline sequential OR
     progressive — SOF2 streams dispatch to the T.81 §G decoder, round 5).
@@ -337,6 +399,7 @@ def decode_gray_jpeg(data: bytes) -> np.ndarray:
     h = w = None
     comp_q = 0
     dc_id = ac_id = 0
+    restart_interval = 0
     scan_start = None
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -364,6 +427,8 @@ def decode_gray_jpeg(data: bytes) -> np.ndarray:
             comp_q = payload[8]
         elif marker in (0xC1, 0xC2, 0xC3):
             raise ValueError("non-baseline JPEG unsupported")
+        elif marker == 0xDD:  # DRI (restart interval in MCUs)
+            (restart_interval,) = struct.unpack(">H", payload[:2])
         elif marker == 0xC4:  # DHT (possibly several tables)
             p = 0
             while p < len(payload):
@@ -380,14 +445,29 @@ def decode_gray_jpeg(data: bytes) -> np.ndarray:
     if h is None or scan_start is None:
         raise ValueError("missing SOF/SOS")
 
-    br = _BitReader(data[scan_start:])
+    # restart intervals (T.81 B.2.1.2): entropy data splits at RSTn
+    # markers into independent segments — DC predictor resets, bit
+    # stream re-byte-aligns.  Without DRI there is exactly one segment
+    # (identical to the pre-round-5 path).
+    segments = _split_restart_segments(data[scan_start:])
+    seg_i = 0
+    br = _BitReader(segments[0])
     dc_tab, ac_tab = huff[(0, dc_id)], huff[(1, ac_id)]
     q = quant[comp_q]
     ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
     n_blocks = (ph // 8) * (pw // 8)
     zz = np.zeros((n_blocks, 64), dtype=np.int64)
     prev_dc = 0
+    blocks_in_seg = 0
     for b in range(n_blocks):
+        if restart_interval and blocks_in_seg == restart_interval:
+            seg_i += 1
+            if seg_i >= len(segments):
+                raise ValueError("missing restart segment")
+            br = _BitReader(segments[seg_i])
+            prev_dc = 0
+            blocks_in_seg = 0
+        blocks_in_seg += 1
         size = _read_huff(br, dc_tab)
         diff = _extend(br.read_bits(size), size)
         prev_dc += diff
@@ -916,6 +996,8 @@ def jpeg_scope_reason(data: bytes) -> str | None:
     pos = 2
     n = len(data)
     saw_sof = False
+    progressive = False
+    saw_dri = False
     while pos + 2 <= n:
         if data[pos] != 0xFF:
             return "truncated_jpeg"
@@ -927,9 +1009,15 @@ def jpeg_scope_reason(data: bytes) -> str | None:
         if marker == 0xD9:  # EOI before any scan
             return "truncated_jpeg"
         if marker == 0xDA:  # SOS
-            return None if saw_sof else "truncated_jpeg"
+            if not saw_sof:
+                return "truncated_jpeg"
+            # restart intervals decode in the baseline path (round 5)
+            # but remain outside the progressive decoder's scope
+            if progressive and saw_dri:
+                return "unsupported_jpeg_layout"
+            return None
         if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
-                      0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF, 0xDD):
+                      0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             return "unsupported_jpeg_layout"
         if 0xD0 <= marker <= 0xD8 or marker == 0x01:
             pos += 2
@@ -938,6 +1026,8 @@ def jpeg_scope_reason(data: bytes) -> str | None:
             return "truncated_jpeg"
         (seg_len,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         payload = data[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDD:
+            saw_dri = True
         if marker in (0xC0, 0xC2):
             if len(payload) < 6:
                 return "truncated_jpeg"
@@ -945,6 +1035,7 @@ def jpeg_scope_reason(data: bytes) -> str | None:
             if n_comp != 1 or prec != 8:
                 return "unsupported_jpeg_layout"
             saw_sof = True
+            progressive = marker == 0xC2
         pos += 2 + seg_len
     return "truncated_jpeg"
 

@@ -626,11 +626,21 @@ def _gen_chunk(args: tuple) -> tuple[list, list, list, list, list]:
                         if is_prog_jpeg
                         else encode_gray_jpeg
                     )
+                    ekw = {}
+                    if not is_prog_jpeg:
+                        # baseline variants rotate restart intervals
+                        # (round 5: DRI/RSTn decode — camera JPEGs use
+                        # restarts routinely; interval does not change
+                        # the decoded pixels, so the golden is shared)
+                        ekw["restart_interval"] = (None, 4, 11)[
+                            _h(seed, "jpegri", i, off) % 3
+                        ]
                     payload = enc(
                         img,
                         dpi=side["dpi"],
                         icc_name=side["icc"][0] if side["icc"] else None,
                         exif_orientation=side["orientation"],
+                        **ekw,
                     )
                     dec = decode_gray_jpeg(payload)
                     meta_rows.append(
@@ -795,8 +805,9 @@ def write_corpus(out_dir: str, n_docs: int, seed: int = 42, **kw) -> dict[str, s
     # fmt 6: JPEG/TIFF tiers embed ICC + EXIF-orientation side-values
     # fmt 7: kana charset widened with hiragana + voiced (dakuten/
     #        handakuten multi-component) glyphs — ja tiers regenerate
+    # fmt 8: baseline-JPEG tier rotates restart intervals (None/4/11)
     params = {
-        "fmt": 7,
+        "fmt": 8,
         "n_docs": n_docs,
         "seed": seed,
         **{k: kw[k] for k in sorted(kw) if k != "processes"},

@@ -244,3 +244,50 @@ def test_icc_profile_name_rejects_garbage():
     assert icc_profile_name(b"\x00" * 200) is None
     assert icc_profile_name(b"short") is None
     assert icc_profile_name(None) is None
+
+
+def test_restart_interval_round_trip():
+    """DRI/RSTn (T.81 B.2.1.2, round 5): restart-marked streams decode
+    bit-identically to their unrestarted encoding at any interval —
+    DC-predictor resets and byte re-alignment replay exactly; side-value
+    segments compose."""
+    from ms_ocr_spark.extraction.ocr.jpeg import jpeg_side_values
+
+    rng = np.random.default_rng(5)
+    imgs = [
+        rng.integers(0, 256, (53, 201), dtype=np.uint8),
+        np.full((64, 128), 255, dtype=np.uint8),
+    ]
+    for img in imgs:
+        ref = decode_gray_jpeg(encode_gray_jpeg(img))
+        for ri in (1, 3, 8, 10000):
+            b = encode_gray_jpeg(img, restart_interval=ri)
+            assert jpeg_scope_reason(b) is None
+            assert np.array_equal(decode_gray_jpeg(b), ref), ri
+        b = encode_gray_jpeg(
+            img, dpi=72.0, icc_name="x", exif_orientation=1, restart_interval=5
+        )
+        assert np.array_equal(decode_gray_jpeg(b), ref)
+        assert jpeg_side_values(b)["icc_name"] == "x"
+
+
+def test_restart_interval_missing_segment_raises():
+    img = np.random.default_rng(5).integers(0, 256, (53, 201), dtype=np.uint8)
+    b = encode_gray_jpeg(img, restart_interval=8)
+    i = b.find(b"\xff\xd0")
+    with pytest.raises(Exception):
+        decode_gray_jpeg(b[:i] + b[i + 2 :][:-50])
+
+
+def test_dri_scope_baseline_ok_progressive_unsupported():
+    """DRI is in scope for baseline (decodes), out of scope for the
+    progressive decoder — the probe reason reflects both."""
+    img = np.full((24, 24), 128, dtype=np.uint8)
+    assert jpeg_scope_reason(encode_gray_jpeg(img, restart_interval=4)) is None
+    pb = encode_gray_jpeg_progressive(img)
+    i = pb.find(b"\xff\xda")
+    # splice a DRI segment (marker + len 4 + interval 4) before the SOS
+    with_dri = pb[:i] + b"\xff\xdd\x00\x04\x00\x04" + pb[i:]
+    assert jpeg_scope_reason(with_dri) == "unsupported_jpeg_layout"
+    with pytest.raises(ValueError):
+        decode_gray_jpeg(with_dri)
