@@ -193,16 +193,34 @@ _HIRA_FONT: dict[str, tuple[str, ...]] = {
     "ぴ": ("...XX", "...XX", "X....", "X....", "XXXXX", "X...X", "XX.XX"),
     "ぷ": ("...XX", "...XX", ".X...", "X....", ".XXX.", "X...X", ".X.X."),
 }
+
+# Common kanji (round 5 — a real `ja` document is mostly hiragana +
+# kanji; the reference's jpn model charset covers thousands, this is a
+# representative full-height single-component subset proving the decode
+# path handles the class — same constraints as unvoiced kana, margins
+# asserted by tests/test_kana_glyphs.py).
+_KANJI_FONT: dict[str, tuple[str, ...]] = {
+    "日": ("XXXXX", "X...X", "X...X", "XXXXX", "X...X", "X...X", "XXXXX"),
+    "月": ("XXXXX", "X...X", "XXXXX", "X...X", "XXXXX", "....X", "...X."),
+    "山": ("..X..", "..X..", "X.X.X", "X.X.X", "X.X.X", "X.X.X", "XXXXX"),
+    "田": ("XXXXX", "X.X.X", "X.X.X", "XXXXX", "X.X.X", "X.X.X", "XXXXX"),
+    "人": ("..X..", "..X..", ".X.X.", ".X.X.", ".X.X.", "X...X", "X...X"),
+    "木": ("..X..", "XXXXX", ".XXX.", "X.X.X", "..X..", ".X.X.", "X...X"),
+    "中": ("..X..", "XXXXX", "X...X", "XXXXX", "..X..", "..X..", "..X.."),
+    "大": ("..X..", "..X..", "XXXXX", "..X..", ".X.X.", ".X.X.", "X...X"),
+}
 # fmt: on
 
 _FONT.update(_KANA_FONT)
 _FONT.update(_HIRA_FONT)
+_FONT.update(_KANJI_FONT)
 
 # glyphs whose diacritic mark is a SEPARATE connected component
 VOICED_KANA = "がざだばぴぷ"
 
-ALPHABET = "".join(sorted(set(_FONT) - set(_KANA_FONT) - set(_HIRA_FONT)))
-KANA_ALPHABET = "".join(sorted(set(_KANA_FONT) | set(_HIRA_FONT)))
+_JA_CHARS = set(_KANA_FONT) | set(_HIRA_FONT) | set(_KANJI_FONT)
+ALPHABET = "".join(sorted(set(_FONT) - _JA_CHARS))
+KANA_ALPHABET = "".join(sorted(_JA_CHARS))
 GLYPH_W, GLYPH_H = 5, 7
 ADVANCE = 7  # font px from glyph start to next glyph start (2 px inter-glyph gap)
 SPACE_EXTRA = 4  # extra font px of gap marking a word space

@@ -806,8 +806,9 @@ def write_corpus(out_dir: str, n_docs: int, seed: int = 42, **kw) -> dict[str, s
     # fmt 7: kana charset widened with hiragana + voiced (dakuten/
     #        handakuten multi-component) glyphs — ja tiers regenerate
     # fmt 8: baseline-JPEG tier rotates restart intervals (None/4/11)
+    # fmt 9: kana charset adds 8 common kanji — ja tiers regenerate
     params = {
-        "fmt": 8,
+        "fmt": 9,
         "n_docs": n_docs,
         "seed": seed,
         **{k: kw[k] for k in sorted(kw) if k != "processes"},
