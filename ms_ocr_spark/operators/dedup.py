@@ -19,7 +19,6 @@ Scale notes:
 
 from __future__ import annotations
 
-import itertools
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -29,11 +28,6 @@ from ms_ocr_spark.functions.hashing import MERSENNE31, md5_long, perm_params
 from ms_ocr_spark.plans.cache import track
 
 TOKEN_PATTERN = "\\s+"
-
-# Observed-metric names must be unique within a query plan (Spark raises
-# AnalysisException on duplicates), so each lsh_candidate_pairs call gets
-# a fresh suffix — two LSH invocations can then compose into one plan.
-_LSH_OBS_COUNTER = itertools.count()
 
 
 def tokens_col(text_col: str = "text"):
@@ -161,15 +155,20 @@ def lsh_candidate_pairs(
         )
     # guard: drop any signature whose length disagrees with num_hashes —
     # cheap filter, prevents the silent cross-join class.  The drop count
-    # is LOUD, not silent: a named observation ("lsh_signature_guard_<n>"
+    # is LOUD, not silent: a named observation ("lsh_signature_guard_<h>"
     # / dropped_signatures) rides the plan at zero cost and surfaces
     # through any QueryExecutionListener, and strict=True pays one extra
     # count() action to refuse malformed inputs outright — a doc dropped
     # here exits candidate generation entirely and would survive as a
-    # keeper.  The observation name carries a process-unique suffix:
-    # Spark requires observed-metric names to be unique per query, so a
-    # fixed name would fail at analysis time the moment two LSH
-    # invocations compose into one plan.
+    # keeper.  The observation name must satisfy TWO constraints at once:
+    # Spark requires observed-metric names to be unique per query (a
+    # fixed name fails at analysis the moment two LSH invocations over
+    # DIFFERENT inputs compose into one plan), while the tracked cache
+    # requires IDENTICAL invocations to produce IDENTICAL plans (a
+    # per-call counter made the keeper queries' shared band-key relation
+    # a cache miss — measured 1.16x -> 2.0x CC overhead).  A suffix
+    # derived from the input plan's semantic hash gives both: same input
+    # -> same name -> cache hit; different inputs -> distinct names.
     if strict:
         n_bad = signatures.filter(F.size("sig") != num_hashes).count()
         if n_bad:
@@ -178,8 +177,11 @@ def lsh_candidate_pairs(
                 f"num_hashes={num_hashes}; these docs would silently exit "
                 "dedup. Fix the signature stage or pass strict=False."
             )
+    plan_hash = (
+        signatures._jdf.queryExecution().analyzed().semanticHash() & 0x7FFFFFFF
+    )
     signatures = signatures.observe(
-        f"lsh_signature_guard_{next(_LSH_OBS_COUNTER)}",
+        f"lsh_signature_guard_{num_hashes}x{rows_per_band}_{plan_hash}",
         F.sum(
             F.when(F.size("sig") != num_hashes, F.lit(1)).otherwise(F.lit(0))
         ).alias("dropped_signatures"),
