@@ -702,3 +702,42 @@ def _component_labels_inner(
     raise RuntimeError(
         f"component_labels did not converge in {max_iter} rounds"
     )
+
+
+def source_dup_stats(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    max_dup_rate: float = 0.5,
+) -> DataFrame:
+    """Per-source duplicate-rate gate (the domain-level drop a corpus
+    build runs — RefinedWeb/C4 drop entire domains whose content is
+    mostly boilerplate clones, not just the duplicate docs):
+
+      dup_rate = (n_docs - n_distinct_texts) / n_docs   per source
+      keep_source = dup_rate <= max_dup_rate
+
+    One two-level aggregation: md5 per doc (map-side), then per-source
+    count + approx-free exact distinct — shuffle keyed by source, stats
+    output is |sources| rows (tiny; broadcast back to gate the corpus).
+    Integer math until the final division (bit-exact cross-engine)."""
+    return (
+        df.select(source_col, F.md5(F.col(text_col)).alias("h"))
+        .groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_distinct("h").cast("long").alias("n_distinct"),
+        )
+        .select(
+            source_col,
+            "n_docs",
+            "n_distinct",
+            F.round((F.col("n_docs") - F.col("n_distinct")) / F.col("n_docs"), 6).alias(
+                "dup_rate"
+            ),
+            (
+                (F.col("n_docs") - F.col("n_distinct")) / F.col("n_docs")
+                <= max_dup_rate
+            ).alias("keep_source"),
+        )
+    )

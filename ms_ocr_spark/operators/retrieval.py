@@ -1,0 +1,106 @@
+"""Ranked retrieval over the documents table: BM25 scoring + top-k.
+
+The inverted-index shape a corpus-scale search runs: per-(term, doc)
+term frequencies aggregate map-side, document frequencies aggregate per
+term, and ONLY the query's terms survive the filter before any join —
+at 100 TB the postings that move are proportional to the query, not the
+corpus (predicate pushdown on `term` reaches the scan).
+
+Cross-engine exactness (the DuckDB oracle hashes values): BM25 needs one
+transcendental (ln) whose last mantissa bit is not guaranteed equal
+across libm implementations — so idf is rounded to 6 dp BEFORE it enters
+any arithmetic, after which every op is correctly-rounded IEEE double
+arithmetic evaluated in an identical expression order, and the per-doc
+score is a SEQUENTIAL fold over term-sorted components (float addition
+is not associative; an unordered SUM would diverge between engines).
+Formula: the Lucene/Robertson "plus one" BM25:
+
+    idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))        (rounded 6 dp)
+    tfc(t,d)= tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    score   = fold_{t in query, sorted}(idf(t) * tfc(t, d))
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import tokens_col
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k documents for `query_terms` by BM25.
+
+    Rank ties break on the EXACT (unrounded) score then ascending id —
+    deterministic and oracle-identical; the output score is rounded to
+    6 dp for display/hash parity.
+    """
+    toks = df.select(id_col, tokens_col(text_col).alias("t"))
+    # corpus stats: N and avgdl from one tiny aggregate (broadcast join —
+    # a single row), doc lengths ride the token relation
+    lens = toks.select(id_col, F.size("t").cast("long").alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("n_tokens")
+    )
+    q = sorted(set(query_terms))
+    postings = (
+        toks.select(id_col, F.explode("t").alias("term"))
+        .filter(F.col("term").isin(q))  # pushdown: only query terms move
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    scored = (
+        postings.join(F.broadcast(dfreq), "term")
+        .join(lens, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("n_tokens") / F.col("n_docs")
+    idf = F.round(
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ),
+        6,
+    )
+    tfc = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / avgdl)
+    )
+    comps = scored.select(
+        id_col, "term", (idf * tfc).alias("comp"), "dl"
+    )
+    # sequential term-ordered fold -> bit-identical cross-engine sum
+    per_doc = comps.groupBy(id_col, "dl").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("term", "comp"))),
+                lambda s: s["comp"],
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("score_exact"),
+        F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+    )
+    w = Window.orderBy(F.col("score_exact").desc(), F.col(id_col))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            "rank",
+            F.round("score_exact", 6).alias("bm25"),
+            "n_terms_hit",
+            "dl",
+        )
+    )

@@ -223,3 +223,36 @@ def search_match(
         n = F.regexp_replace(n, " ", "")
     flag = (c == n) if exact else F.contains(c, n)
     return df.withColumn("is_match", F.coalesce(flag, F.lit(False)))
+
+
+# C4-style blocklist gate (Raffel et al. 2020 §2.2 "bad words" filter):
+# a small fixed list stands in for the public blocklists a production
+# pipeline ships; semantics (token-exact match fraction + threshold
+# gate) are what the operator proves.
+BADWORDS = ("slow", "noise", "garbage", "spam")
+
+
+def badword_fraction(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    badwords: tuple[str, ...] = BADWORDS,
+    max_frac: float = 0.05,
+) -> DataFrame:
+    """Per-doc blocklisted-token fraction + pass flag (the C4 badword
+    filter shape).  Single-pass JVM array ops: one tokenize, one filtered
+    size — no joins, no Python; the blocklist travels as a literal array
+    (at 100 TB a large list would broadcast instead, same plan shape).
+    Integer counts until the final division (bit-exact cross-engine)."""
+    toks = tokens_col(text_col)
+    bad = F.array(*[F.lit(w) for w in badwords])
+    n_tokens = F.size(toks).cast("long")
+    n_bad = F.size(F.filter(toks, lambda t: F.array_contains(bad, t))).cast("long")
+    frac = F.when(n_tokens > 0, n_bad / n_tokens).otherwise(F.lit(0.0))
+    return df.select(
+        id_col,
+        n_tokens.alias("n_tokens"),
+        n_bad.alias("n_bad"),
+        F.round(frac, 6).alias("badword_frac"),
+        (frac <= max_frac).alias("passes_badwords"),
+    )

@@ -1399,6 +1399,110 @@ def bpe_token_count_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.bpe_token_count(_t(spark, sf_dir, "documents"))
 
 
+_BADWORDS_SQL = "[" + ", ".join(f"'{w}'" for w in textstats.BADWORDS) + "]"
+
+
+@_register(
+    "badword_fraction_docs",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    c AS (SELECT doc_id,
+                 CAST(len(t) AS BIGINT) AS n_tokens,
+                 CAST(len(list_filter(t, x -> list_contains({_BADWORDS_SQL}, x)))
+                      AS BIGINT) AS n_bad
+          FROM toks)
+    SELECT doc_id, n_tokens, n_bad,
+           round(CASE WHEN n_tokens > 0 THEN n_bad * 1.0 / n_tokens
+                      ELSE 0.0 END, 6) AS badword_frac,
+           (CASE WHEN n_tokens > 0 THEN n_bad * 1.0 / n_tokens
+                 ELSE 0.0 END) <= 0.05 AS passes_badwords
+    FROM c
+    """,
+)
+def badword_fraction_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist gate (round 5): blocklisted-token fraction per
+    doc + threshold flag — single-pass JVM array ops, integer counts
+    until the final division."""
+    return textstats.badword_fraction(_t(spark, sf_dir, "documents"))
+
+
+_BM25_TERMS = ["table", "hash", "join", "scan"]
+_BM25_TERMS_SQL = "[" + ", ".join(f"'{t}'" for t in sorted(set(_BM25_TERMS))) + "]"
+
+
+@_register(
+    "bm25_topk_docs",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(dl) AS BIGINT) AS n_tokens FROM lens),
+    postings AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+      WHERE list_contains({_BM25_TERMS_SQL}, term)
+      GROUP BY doc_id, term),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+              FROM postings GROUP BY term),
+    comps AS (
+      SELECT p.doc_id, p.term, l.dl,
+             round(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)), 6)
+             * (p.tf * (1.2 + 1)) /
+               (p.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl /
+                              (s.n_tokens * 1.0 / s.n_docs))) AS comp
+      FROM postings p JOIN dfreq d USING (term)
+                      JOIN lens l USING (doc_id), stats s),
+    per_doc AS (
+      SELECT doc_id, dl,
+             list_reduce(list_prepend(0.0, list(comp ORDER BY term)),
+                         (a, b) -> a + b) AS score_exact,
+             CAST(count(*) AS BIGINT) AS n_terms_hit
+      FROM comps GROUP BY doc_id, dl),
+    ranked AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY score_exact DESC, doc_id)
+                  AS INT) AS rank,
+             round(score_exact, 6) AS bm25, n_terms_hit, dl
+      FROM per_doc)
+    SELECT doc_id, rank, bm25, n_terms_hit, dl FROM ranked WHERE rank <= 10
+    """,
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (round 5): inverted-index shape — postings
+    filtered to the query terms BEFORE any join, df/length stats
+    broadcast, per-doc score via a term-sorted sequential fold (float
+    addition is not associative; an unordered SUM diverges cross-engine),
+    idf rounded to 6 dp before entering arithmetic (ln is the one
+    transcendental whose last bit differs between libms)."""
+    from ms_ocr_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS)
+
+
+@_register(
+    "source_dup_rate_gate",
+    """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+           round((count(*) - count(DISTINCT md5(text))) * 1.0 / count(*), 6)
+             AS dup_rate,
+           (count(*) - count(DISTINCT md5(text))) * 1.0 / count(*) <= 0.5
+             AS keep_source
+    FROM documents
+    GROUP BY source
+    """,
+)
+def source_dup_rate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level duplicate-rate gate (round 5 — the RefinedWeb/C4
+    whole-domain drop): per-source exact-dup rate from md5 distinct
+    counts, keep flag at 50%.  Output is |sources| rows — broadcast back
+    to gate the corpus at scale."""
+    from ms_ocr_spark.operators.dedup import source_dup_stats
+
+    return source_dup_stats(_t(spark, sf_dir, "documents"))
+
+
 _NORM_TEXT_SQL = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
 _FP_INT_SQL = md5_long_sql(_NORM_TEXT_SQL)
 

@@ -583,3 +583,49 @@ def test_containment_rarest_anchor_defuses_hot_preamble(spark):
         for r in containment_dedup_pairs(df).collect()
     }
     assert pairs == {("x-inner", "y-outer")}
+
+
+def test_badword_fraction_edges(spark):
+    from ms_ocr_spark.operators.textstats import badword_fraction
+
+    df = spark.createDataFrame(
+        [("a", "slow spam data"), ("b", "clean text here"), ("c", "")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in badword_fraction(df).collect()}
+    assert out["a"]["n_bad"] == 2 and not out["a"]["passes_badwords"]
+    assert out["b"]["n_bad"] == 0 and out["b"]["passes_badwords"]
+    assert out["c"]["n_tokens"] == 0 and out["c"]["passes_badwords"]
+
+
+def test_bm25_ranking_properties(spark):
+    """BM25 sanity: a doc with more query-term hits in the same length
+    outranks one with fewer; rank ties break on doc_id; k caps rows."""
+    from ms_ocr_spark.operators.retrieval import bm25_topk
+
+    rows = [
+        ("d1", "table hash join scan pad pad pad pad"),
+        ("d2", "table hash pad pad pad pad pad pad"),
+        ("d3", "pad pad pad pad pad pad pad pad"),
+        ("d4", "table pad pad pad pad pad pad pad"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = bm25_topk(df, ["table", "hash", "join", "scan"], k=3).collect()
+    assert [r["doc_id"] for r in out] == ["d1", "d2", "d4"]
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    assert out[0]["n_terms_hit"] == 4
+
+
+def test_source_dup_stats_gate(spark):
+    from ms_ocr_spark.operators.dedup import source_dup_stats
+
+    rows = (
+        [("dup.com", "same text")] * 4
+        + [("dup.com", "other")]
+        + [("ok.com", f"unique {i}") for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, ["source", "text"])
+    out = {r["source"]: r for r in source_dup_stats(df).collect()}
+    assert out["dup.com"]["n_docs"] == 5 and out["dup.com"]["n_distinct"] == 2
+    assert not out["dup.com"]["keep_source"]
+    assert out["ok.com"]["keep_source"] and out["ok.com"]["dup_rate"] == 0.0
