@@ -777,6 +777,9 @@ def dedup_keepers_cc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CONT_K = 8
 _CONT_GRAM = " || ' ' || ".join(f"t[i+{j}]" for j in range(_CONT_K))
+_BADWORDS_PLACEHOLDER = (
+    "[" + ", ".join(f"'{w}'" for w in textstats.BADWORDS) + "]"
+)
 
 
 @_register(
@@ -947,9 +950,22 @@ def passage_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN cbase b ON b.doc_id = c.outer_id
       WHERE contains(' ' || b.norm || ' ', ' ' || a.norm || ' ')
         AND (length(a.norm) < length(b.norm)
-             OR (length(a.norm) = length(b.norm) AND c.inner_id < c.outer_id)))
+             OR (length(a.norm) = length(b.norm) AND c.inner_id < c.outer_id))),
+    bw AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+                  CAST(len(list_filter(t, x -> list_contains({_BADWORDS_PLACEHOLDER}, x)))
+                       AS BIGINT) AS n_bad
+           FROM rtoks),
+    bad_pass AS (
+      SELECT doc_id FROM bw
+      WHERE (CASE WHEN n_tokens > 0 THEN n_bad * 1.0 / n_tokens
+                  ELSE 0.0 END) <= 0.05),
+    kept_sources AS (
+      SELECT source FROM documents GROUP BY source
+      HAVING (count(*) - count(DISTINCT md5(text))) * 1.0 / count(*) <= 0.5)
     SELECT doc_id FROM documents
     WHERE doc_id IN (SELECT doc_id FROM gopher_pass)
+      AND doc_id IN (SELECT doc_id FROM bad_pass)
+      AND source IN (SELECT source FROM kept_sources)
       AND doc_id NOT IN (SELECT doc_id FROM exact_losers)
       AND doc_id NOT IN (SELECT doc_id FROM near_losers)
       AND doc_id NOT IN (SELECT doc_id FROM rep_losers)
@@ -961,9 +977,11 @@ def training_corpus_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus build runs, composed from the suite's own operators —
     exact-dup keepers ∩ connected-component near-dup keepers (MinHash-LSH
     candidates, Jaccard-verified, min-label components) ∩ Gopher quality
-    gates ∩ within-doc repetition threshold (dup-gram frac <= 0.2)
+    gates ∩ badword gate (round 5) ∩ kept-sources gate (domain dup-rate,
+    round 5) ∩ within-doc repetition threshold (dup-gram frac <= 0.2)
     ∖ whole-doc containment losers.  One persisted shingle relation
-    feeds minhash, LSH and Jaccard; every stage is the same
+    feeds minhash, LSH and Jaccard; the source gate's stats relation is
+    |sources| rows and broadcasts; every stage is the same
     oracle-verified operator exposed individually."""
     docs = _t(spark, sf_dir, "documents")
     sh = track(dedup.shingles(docs))
@@ -993,9 +1011,22 @@ def training_corpus_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("inner_id").alias("doc_id"))
         .distinct()
     )
+    bad_pass = (
+        textstats.badword_fraction(docs)
+        .filter(F.col("passes_badwords"))
+        .select("doc_id")
+    )
+    kept_sources = (
+        dedup.source_dup_stats(docs)
+        .filter(F.col("keep_source"))
+        .select("source")
+    )
     return (
-        docs.select("doc_id")
+        docs.select("doc_id", "source")
+        .join(F.broadcast(kept_sources), "source")
+        .select("doc_id")
         .join(gopher_pass, "doc_id")
+        .join(bad_pass, "doc_id")
         .join(exact_losers, "doc_id", "left_anti")
         .join(near_losers, "doc_id", "left_anti")
         .join(rep_losers, "doc_id", "left_anti")
@@ -1399,7 +1430,7 @@ def bpe_token_count_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.bpe_token_count(_t(spark, sf_dir, "documents"))
 
 
-_BADWORDS_SQL = "[" + ", ".join(f"'{w}'" for w in textstats.BADWORDS) + "]"
+_BADWORDS_SQL = _BADWORDS_PLACEHOLDER
 
 
 @_register(
