@@ -256,3 +256,57 @@ def badword_fraction(
         F.round(frac, 6).alias("badword_frac"),
         (frac <= max_frac).alias("passes_badwords"),
     )
+
+
+# ASCII-scoped PII patterns: Java regex and RE2 agree exactly on these
+# classes (hyphen placed last in the class = literal in both flavors);
+# a production pipeline would ship the full presidio-style pattern set,
+# the operator shape (count -> ordered replace) is what matters.
+EMAIL_PATTERN = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+"
+PHONE_PATTERN = "[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
+
+
+def redact_pii(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII scrubbing (the email/phone redaction every released training
+    corpus runs — cf. The Stack / RefinedWeb preprocessing): counts then
+    replaces emails and phone numbers with typed placeholder tokens.
+    Emails redact FIRST in both engines so a phone-shaped local part can
+    never change outcomes by evaluation order.  Pure JVM regexp
+    (codegen'd), single pass per pattern, no Python."""
+    emails = F.regexp_extract_all(F.col(text_col), F.lit(EMAIL_PATTERN), F.lit(0))
+    after_email = F.regexp_replace(F.col(text_col), EMAIL_PATTERN, "<EMAIL>")
+    phones = F.regexp_extract_all(after_email, F.lit(PHONE_PATTERN), F.lit(0))
+    redacted = F.regexp_replace(after_email, PHONE_PATTERN, "<PHONE>")
+    return df.select(
+        id_col,
+        F.size(emails).cast("long").alias("n_emails"),
+        F.size(phones).cast("long").alias("n_phones"),
+        redacted.alias("redacted_text"),
+    )
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by salted content-free
+    hash of the id (the standard leakage-safe split: stable under
+    re-runs, re-partitioning and corpus growth; changing the salt
+    re-rolls every assignment atomically).  Pure projection — no
+    shuffle, no state, embarrassingly parallel at any scale."""
+    from ms_ocr_spark.functions.hashing import md5_long
+
+    bucket = md5_long(F.col(id_col).cast("string"), salt=salt) % 100
+    return df.select(
+        id_col,
+        bucket.cast("int").alias("split_bucket"),
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -1534,6 +1534,85 @@ def source_dup_rate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_dup_stats(_t(spark, sf_dir, "documents"))
 
 
+_PII_SEED_SQL = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0
+                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com now'
+                WHEN doc_id % 11 = 0
+                  THEN text || ' call 555-010-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                ELSE text END AS text
+    FROM documents"""
+
+
+@_register(
+    "redact_pii_docs",
+    f"""
+    WITH seeded AS ({_PII_SEED_SQL}),
+    e AS (SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '{{EM}}')) AS BIGINT)
+                   AS n_emails,
+                 regexp_replace(text, '{{EM}}', '<EMAIL>', 'g') AS t1
+          FROM seeded)
+    SELECT doc_id, n_emails,
+           CAST(len(regexp_extract_all(t1, '{{PH}}')) AS BIGINT) AS n_phones,
+           regexp_replace(t1, '{{PH}}', '<PHONE>', 'g') AS redacted_text
+    FROM e
+    """.replace("{EM}", textstats.EMAIL_PATTERN)
+    .replace("{PH}", textstats.PHONE_PATTERN),
+)
+def redact_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (round 5): deterministic email/phone fixtures are
+    seeded into ~1/7 + ~1/11 of the docs by a CTE both engines share,
+    then counted and replaced with typed placeholders — emails first in
+    both engines (order-stable outcomes)."""
+    docs = _t(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" call 555-010-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return textstats.redact_pii(seeded)
+
+
+@_register(
+    "split_assign_docs",
+    f"""
+    SELECT doc_id, CAST(b AS INT) AS split_bucket,
+           CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 {md5_long_sql("CAST(doc_id AS VARCHAR)", salt="split-v1")} % 100
+                   AS b
+          FROM documents)
+    """,
+)
+def split_assign_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic leakage-safe train/val/test assignment by salted
+    id hash (round 5) — stable under re-runs and corpus growth, pure
+    projection (no shuffle)."""
+    return textstats.split_assign(_t(spark, sf_dir, "documents"))
+
+
 _NORM_TEXT_SQL = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
 _FP_INT_SQL = md5_long_sql(_NORM_TEXT_SQL)
 

@@ -629,3 +629,42 @@ def test_source_dup_stats_gate(spark):
     assert out["dup.com"]["n_docs"] == 5 and out["dup.com"]["n_distinct"] == 2
     assert not out["dup.com"]["keep_source"]
     assert out["ok.com"]["keep_source"] and out["ok.com"]["dup_rate"] == 0.0
+
+
+def test_redact_pii_edges(spark):
+    from ms_ocr_spark.operators.textstats import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            ("a", "mail me at jo.smith+x@sub.example.org please"),
+            ("b", "call 555-123-4567 or 555-999-0000"),
+            ("c", "clean text"),
+            ("d", "both x@y.io and 111-222-3333"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert out["a"]["n_emails"] == 1 and "<EMAIL>" in out["a"]["redacted_text"]
+    assert "jo.smith" not in out["a"]["redacted_text"]
+    assert out["b"]["n_phones"] == 2
+    assert out["c"]["redacted_text"] == "clean text"
+    assert out["d"]["n_emails"] == 1 and out["d"]["n_phones"] == 1
+    assert "111-222-3333" not in out["d"]["redacted_text"]
+
+
+def test_split_assign_deterministic_and_proportional(spark):
+    from ms_ocr_spark.operators.textstats import split_assign
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], ["doc_id"])
+    a = {r["doc_id"]: r["split"] for r in split_assign(df).collect()}
+    b = {r["doc_id"]: r["split"] for r in split_assign(df).collect()}
+    assert a == b  # stable across runs
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert 0.75 < c["train"] / 2000 < 0.85
+    assert 0.06 < c["val"] / 2000 < 0.14
+    assert 0.06 < c["test"] / 2000 < 0.14
+    # different salt re-rolls assignments
+    c2 = {r["doc_id"]: r["split"] for r in split_assign(df, salt="v2").collect()}
+    assert c2 != a
