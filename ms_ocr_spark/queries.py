@@ -2188,6 +2188,42 @@ def _audio_features_oracle() -> str:
     )
 
 
+def _pdf_corpus_paths(n_docs: int = 60) -> dict[str, str]:
+    import os
+
+    from ms_ocr_spark.sources.datagen import write_pdf_corpus
+
+    cache = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), ".cache", f"pdf_{n_docs}"
+    )
+    return write_pdf_corpus(cache, n_docs=n_docs, seed=42)
+
+
+def pdf_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF text extraction SOURCE (round 5 — north_rule 'PDF/layout
+    parse'): positioned text spans recovered from PDF bytes (object
+    scan, FlateDecode streams, BT/Tm/Td/Tj/TJ text operators with
+    string escapes) inside mapInPandas; garbage payloads yield a single
+    all-null row.  Oracle = the generator's golden_pdf_spans parquet
+    (straight-line derivation from the box rows before PDF encoding,
+    independent of the parser)."""
+    from ms_ocr_spark.extraction.pdf import pdf_extract_spans_df
+
+    media = spark.read.parquet(_pdf_corpus_paths()["pdf_media"])
+    return pdf_extract_spans_df(media)
+
+
+_REGISTRY.append(("pdf_extract_spans", pdf_extract_spans, None))
+
+
+def _pdf_spans_oracle() -> str:
+    paths = _pdf_corpus_paths()
+    return (
+        "SELECT doc_id, page, x, y, text "
+        f"FROM read_parquet('{paths['golden_pdf_spans']}')"
+    )
+
+
 def _video_corpus_paths(n_clips: int = 60) -> dict[str, str]:
     import os
 
@@ -2371,6 +2407,7 @@ _LAZY_ORACLES: dict[str, Callable[[], str]] = {
     "media_image_metadata_mixed": _media_meta_mixed_oracle,
     "media_audio_features": _audio_features_oracle,
     "media_video_frames": _video_frames_oracle,
+    "pdf_extract_spans": _pdf_spans_oracle,
     "quarantine_media_reasons": _quarantine_oracle,
     "dedup_boxes_keep_first": _keepfirst_golden_oracle,
     "table_cells_from_media": _table_cells_oracle,

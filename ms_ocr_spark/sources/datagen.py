@@ -1207,3 +1207,92 @@ def write_video_corpus(
     with open(params_path, "w") as f:
         json.dump(params, f)
     return paths
+
+
+# ---------------------------------------------------------------------------
+# PDF tier (round 5 — north_rule "PDF/layout parse" as a SOURCE):
+# deterministic positioned-text PDFs written by the engine's own sink
+# dialect + an independent straight-line golden of the spans a correct
+# parser recovers.  ~1 in 9 payloads is garbage (single all-null golden
+# row — the quarantine contract).
+# ---------------------------------------------------------------------------
+
+PDF_MEDIA_SCHEMA = pa.schema([("doc_id", pa.string()), ("artifact", pa.binary())])
+PDF_GOLDEN_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("page", pa.int32()),
+        ("x", pa.float64()),
+        ("y", pa.float64()),
+        ("text", pa.string()),
+    ]
+)
+
+_PDF_TAILS = ("", "", " (v2)", " [a]", " 50%", " \\x", ")(")
+
+
+def write_pdf_corpus(out_dir: str, n_docs: int, seed: int = 42) -> dict[str, str]:
+    import json
+
+    from ms_ocr_spark.operators.sinks import pdf_from_boxes
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = {
+        name: os.path.join(out_dir, f"{name}.parquet")
+        for name in ("pdf_media", "golden_pdf_spans")
+    }
+    params = {"n_docs": n_docs, "seed": seed, "fmt": 1}
+    params_path = os.path.join(out_dir, "params.json")
+    if all(os.path.exists(p) for p in paths.values()) and os.path.exists(params_path):
+        with open(params_path) as f:
+            if json.load(f) == params:
+                return paths
+    page_h = 792
+    media_rows, golden_rows = [], []
+    for di in range(n_docs):
+        doc_id = f"pdf-{di:06d}"
+        if _h(seed, "pdfbad", di) % 9 == 0:
+            payload = b"%FDP not-a-pdf" + hashlib.md5(doc_id.encode()).digest()
+            media_rows.append({"doc_id": doc_id, "artifact": payload})
+            golden_rows.append(
+                {"doc_id": doc_id, "page": None, "x": None, "y": None, "text": None}
+            )
+            continue
+        boxes = []
+        n_boxes = 2 + _h(seed, "pdfn", di) % 5
+        for bi in range(n_boxes):
+            hb = _h(seed, "pdfbox", di, bi)
+            x1 = 20 + (hb % 26) * 20
+            y1 = 30 + ((hb >> 8) % 24) * 30
+            word = _OCR_WORDS[(hb >> 16) % len(_OCR_WORDS)]
+            tail = _PDF_TAILS[(hb >> 24) % len(_PDF_TAILS)]
+            boxes.append(
+                {"x1": x1, "y1": y1, "x2": x1 + 60, "y2": y1 + 14, "text": word + tail}
+            )
+        media_rows.append(
+            {"doc_id": doc_id, "artifact": pdf_from_boxes(boxes)}
+        )
+        # golden = the spans a correct parser recovers, in drawing order
+        # (the sink sorts by (y1, x1) and flips y: y = page_h - y1 - 10)
+        for b in sorted(boxes, key=lambda b: (b["y1"], b["x1"])):
+            golden_rows.append(
+                {
+                    "doc_id": doc_id,
+                    "page": 0,
+                    "x": round(float(b["x1"]), 1),
+                    "y": round(float(page_h - b["y1"] - 10), 1),
+                    "text": b["text"],
+                }
+            )
+    pq.write_table(
+        pa.Table.from_pylist(media_rows, schema=PDF_MEDIA_SCHEMA),
+        paths["pdf_media"],
+        row_group_size=500,
+    )
+    pq.write_table(
+        pa.Table.from_pylist(golden_rows, schema=PDF_GOLDEN_SCHEMA),
+        paths["golden_pdf_spans"],
+    )
+    with open(params_path, "w") as f:
+        json.dump(params, f)
+    return paths
