@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ms_ocr_spark.plans.cache import track
+
 from .dedup import tokens_col
 
 BM25_K1 = 1.2
@@ -52,7 +54,10 @@ def bm25_topk(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("n_tokens")
     )
     q = sorted(set(query_terms))
-    postings = (
+    # tiny relation (docs x matched query terms), consumed twice (scores
+    # + document frequencies) -> persisted via track() so the tokenize +
+    # explode subtree runs once
+    postings = track(
         toks.select(id_col, F.explode("t").alias("term"))
         .filter(F.col("term").isin(q))  # pushdown: only query terms move
         .groupBy(id_col, "term")

@@ -221,3 +221,20 @@ def test_containment_candidates_cache_gram_relation_once(spark):
     # inside InMemoryRelation executes once, however often its plan text
     # is printed — same invariant as the LSH band-key test)
     assert plan.count("InMemoryTableScan") >= 3
+
+
+def test_bm25_plan_broadcasts_and_filters_terms(spark):
+    """BM25 (round 5): the query-term IN-filter must sit on the exploded
+    postings BEFORE aggregation (only query terms move), term/corpus
+    stats must broadcast (no sort-merge join anywhere), and the shared
+    postings relation must read from cache on both consumers."""
+    from ms_ocr_spark.queries import bm25_topk_docs
+
+    plan = _plan(bm25_topk_docs(spark, "/root/testdata/sf0.001"))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert any(
+        "Filter" in line and "term" in line and " IN (" in line
+        for line in plan.splitlines()
+    ), "query-term filter missing from the postings scan"
+    assert plan.count("InMemoryTableScan") >= 2
