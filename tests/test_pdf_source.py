@@ -65,3 +65,26 @@ def test_pdf_extract_spans_df_null_contract(spark):
     out = {r["doc_id"]: r for r in pdf_extract_spans_df(df).collect()}
     assert out["good"]["text"] == "A1" and out["good"]["page"] == 0
     assert out["bad"]["page"] is None and out["bad"]["text"] is None
+
+
+def test_pdf_multipage_kids_order():
+    """A hand-built 2-page PDF: spans resolve through the /Pages tree in
+    /Kids order with per-page content streams."""
+    c1 = b"BT 1 0 0 1 10 700 Tm (page-zero) Tj ET"
+    c2 = b"BT 1 0 0 1 20 650 Tm (page-one) Tj ET"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 5 0 R >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 6 0 R >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(c1), c1),
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(c2), c2),
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    for i, body in enumerate(objs, 1):
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    out += b"trailer\n<< /Size 7 /Root 1 0 R >>\n%%EOF\n"
+    assert pdf_text_spans(bytes(out)) == [
+        (0, 10.0, 700.0, "page-zero"),
+        (1, 20.0, 650.0, "page-one"),
+    ]
