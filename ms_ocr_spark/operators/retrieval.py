@@ -97,10 +97,17 @@ def bm25_topk(
         ).alias("score_exact"),
         F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
     )
+    # top-k FIRST via orderBy+limit (Spark's TakeOrderedAndProject — a
+    # parallel per-partition top-k + small merge), THEN rank the k
+    # survivors with a window: a bare global row_number window would
+    # move EVERY matched doc to one partition (the WindowExec
+    # single-partition warning), which a selective query survives but a
+    # common-term query at corpus scale does not.  Same output: the
+    # limit uses the identical (score DESC, id) ordering the rank does.
+    topk = per_doc.orderBy(F.col("score_exact").desc(), F.col(id_col)).limit(k)
     w = Window.orderBy(F.col("score_exact").desc(), F.col(id_col))
     return (
-        per_doc.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        topk.withColumn("rank", F.row_number().over(w))
         .select(
             id_col,
             "rank",
