@@ -404,9 +404,13 @@ def main() -> None:
         dps_lo = 2 * lo1["n_docs"] / (lo1["wall_sec"] + lo2["wall_sec"])
         dps_hi = 2 * hi1["n_docs"] / (hi1["wall_sec"] + hi2["wall_sec"])
         eff = round(dps_hi / (4 * dps_lo), 3)
-        # window valid = host still scales at this pair after the run and
-        # didn't lose more than 15% of its probed headroom mid-window
-        window_valid = post_eff >= 0.8 and post_eff >= 0.85 * pre_eff
+        # window valid = host scaled at this pair BOTH before and after the
+        # run (a sick-start window that recovers mid-run is just as
+        # unusable as one that dies mid-run) and didn't lose more than 15%
+        # of its probed headroom — same floors as the headline-phase rule
+        window_valid = (
+            pre_eff >= 0.8 and post_eff >= 0.8 and post_eff >= 0.85 * pre_eff
+        )
         attempts.append(
             {
                 "pair": [n_lo, n_hi],

@@ -22,6 +22,8 @@ import zlib
 
 _OBJ_RE = re.compile(rb"(\d+) 0 obj\b(.*?)endobj", re.S)
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
+_STREAM_KW_RE = re.compile(rb"stream(?:\r\n|\n)")
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?![ \t]+\d+[ \t]+R)")
 _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
 _KIDS_RE = re.compile(rb"/Kids\s*\[(.*?)\]", re.S)
 _REF_RE = re.compile(rb"(\d+)\s+0\s+R")
@@ -34,10 +36,21 @@ def _pdf_objects(data: bytes) -> dict[int, bytes]:
 
 
 def _content_stream(body: bytes) -> bytes | None:
-    m = _STREAM_RE.search(body)
-    if not m:
-        return None
-    raw = m.group(1)
+    # Prefer slicing by the dictionary's direct /Length value: a regex scan
+    # for "endstream" can truncate inside binary stream data (or eat a real
+    # trailing 0x0D byte via the optional \r).  Fall back to the regex only
+    # when /Length is absent or an indirect reference.
+    raw = None
+    lm = _LENGTH_RE.search(body)
+    km = _STREAM_KW_RE.search(body)
+    if lm and km:
+        start = km.end()
+        raw = body[start : start + int(lm.group(1))]
+    if raw is None:
+        m = _STREAM_RE.search(body)
+        if not m:
+            return None
+        raw = m.group(1)
     if b"/FlateDecode" in body:
         return zlib.decompress(raw)
     return raw
@@ -65,6 +78,16 @@ def _unescape(s: str) -> str:
                 out.append(chr(int(s[i + 1 : j], 8)))
                 i = j
                 continue
+            if nxt in "\r\n":  # line continuation: drop backslash + EOL
+                i += 2
+                if nxt == "\r" and i < len(s) and s[i] == "\n":
+                    i += 1
+                continue
+            # PDF 7.3.4.2: an unrecognized escape drops the backslash and
+            # keeps the following character.
+            out.append(nxt)
+            i += 2
+            continue
         out.append(c)
         i += 1
     return "".join(out)

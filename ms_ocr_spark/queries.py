@@ -1478,9 +1478,9 @@ _BM25_TERMS_SQL = "[" + ", ".join(f"'{t}'" for t in sorted(set(_BM25_TERMS))) + 
     comps AS (
       SELECT p.doc_id, p.term, l.dl,
              round(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)), 6)
-             * (p.tf * (1.2 + 1)) /
-               (p.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl /
-                              (s.n_tokens * 1.0 / s.n_docs))) AS comp
+             * ((p.tf * (1.2 + 1)) /
+                (p.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl /
+                               (s.n_tokens * 1.0 / s.n_docs)))) AS comp
       FROM postings p JOIN dfreq d USING (term)
                       JOIN lens l USING (doc_id), stats s),
     per_doc AS (
