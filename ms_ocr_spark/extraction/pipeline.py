@@ -283,14 +283,16 @@ def quarantine_invalid_media(docs: DataFrame, media: DataFrame) -> DataFrame:
 
     `reason` values: `missing` (no payload row), `invalid` (magic-byte /
     size rejection), `truncated_jpeg` (JPEG whose marker walk ends
-    before a scan), `unsupported_jpeg_layout` (multi-component/
-    arithmetic/lossless/restart-interval frames) and
+    before a scan), `unsupported_jpeg_layout` (CMYK/arithmetic/
+    lossless/12-bit frames, sampling factors above 2, progressive
+    restart intervals) and
     `unsupported_tiff_layout` (tiled, multi-sample, exotic compression)
     — all quarantined BY DESIGN by the codecs; the distinct reasons let
     a corpus operator see the decode-scope cost (VERDICT r3 item 7).
-    Progressive (SOF2) JPEGs DECODE since round 5 and no longer appear
-    here (VERDICT r4 item 1).  All probes are header-only sniffs, never
-    pixel decodes."""
+    Progressive (SOF2) JPEGs DECODE since round 5 and 3-component
+    (YCbCr color) JPEGs since round 6, so neither appears here
+    (VERDICT r4 item 1, r5 item 1).  All probes are header-only sniffs,
+    never pixel decodes."""
     from ms_ocr_spark.operators.multimodal import mime_col, valid_payload_col
 
     flat = explode_spans(docs).filter(F.col("kind") == "media")

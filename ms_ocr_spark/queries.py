@@ -1855,6 +1855,50 @@ def _extract_spans_progressive_oracle() -> str:
     return _golden_spans_oracle(_corpus_paths_progressive()["golden_spans"])
 
 
+def _corpus_paths_color(n_docs: int = 40) -> dict[str, str]:
+    """Color (3-component YCbCr) JPEG media tier (round 6 — the
+    reference decodes color via PIL, `image_processor/main.py:58-63`,
+    and grays it at `main.py:189-207`; virtually all camera/web JPEGs
+    are YCbCr): ~55% of payloads are color JFIF rotating through
+    baseline 4:4:4 / 4:2:0 / 4:2:0+RSTn / progressive 4:4:4 /
+    progressive 4:2:0; the remainder grayscale PNG."""
+    import os
+
+    from ms_ocr_spark.sources.datagen import write_corpus
+
+    cache = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), ".cache", f"corpus_color_{n_docs}"
+    )
+    return write_corpus(cache, n_docs=n_docs, seed=53, color_jpeg_pct=0.55)
+
+
+def extract_spans_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Color-JPEG extraction tier: 3-component frames ride the
+    multi-component MCU decoder (interleaved baseline, non-interleaved
+    progressive AC per T.81 G.1.1.1.1, chroma upsample, BT.601
+    luminance) inside the same Arrow UDF batch as the PNG payloads."""
+    from ms_ocr_spark.extraction.pipeline import extract_documents
+
+    paths = _corpus_paths_color()
+    docs = spark.read.parquet(paths["documents"])
+    media = spark.read.parquet(paths["media_store"])
+    out = extract_documents(docs, media)
+    return out.select("doc_id", F.posexplode("spans").alias("pos", "span")).select(
+        "doc_id",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
+_REGISTRY.append(("extract_spans_color", extract_spans_color, None))
+
+
+def _extract_spans_color_oracle() -> str:
+    return _golden_spans_oracle(_corpus_paths_color()["golden_spans"])
+
+
 def _corpus_paths_tiff(n_docs: int = 40) -> dict[str, str]:
     """Three-codec media tier covering the reference's FULL upload
     allow-list (jpg/jpeg/png/tif/tiff, `env/local.env:25`): ~30% baseline
@@ -2398,6 +2442,7 @@ _LAZY_ORACLES: dict[str, Callable[[], str]] = {
     "extract_spans_warped": _extract_spans_warped_oracle,
     "extract_spans_jpeg": _extract_spans_jpeg_oracle,
     "extract_spans_progressive": _extract_spans_progressive_oracle,
+    "extract_spans_color": _extract_spans_color_oracle,
     "extract_spans_tiff": _extract_spans_tiff_oracle,
     "extract_spans_mixedcase": _extract_spans_mixedcase_oracle,
     "extract_spans_routed": _extract_spans_routed_oracle,

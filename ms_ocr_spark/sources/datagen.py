@@ -301,12 +301,24 @@ _RGB_BGS = ((255, 255, 240), (235, 245, 255), (255, 235, 240), (240, 255, 240))
 
 
 def colorize(img: np.ndarray, ink: tuple, bg: tuple) -> np.ndarray:
-    """Gray uint8 HxW -> HxWx3 by linear interpolation ink->bg over the
-    gray value (antialiased edges map to intermediate colors)."""
-    v = img.astype(np.float64)[:, :, None] / 255.0
-    ink_a = np.array(ink, dtype=np.float64)[None, None, :]
-    bg_a = np.array(bg, dtype=np.float64)[None, None, :]
-    return np.clip(np.rint(ink_a + (bg_a - ink_a) * v), 0, 255).astype(np.uint8)
+    """Gray uint8 HxW -> HxWx3 on the ink->bg color line, LUMINANCE-
+    PRESERVING: each pixel is placed so its BT.601 luminance equals the
+    source gray value (clipped to the [L_ink, L_bg] reachable range).
+    A plain 0..255 ramp would shift the effective binarize threshold
+    (ink luminance ~38, not 0 — antialiased pixels in [~109,128) flip
+    from ink to background and thin rotated glyph strokes); anchoring
+    luminance to the gray value gives every colorized tier EXACTLY the
+    gray tiers' decode margins (round 6)."""
+    w601 = np.array([0.299, 0.587, 0.114])
+    ink_a = np.array(ink, dtype=np.float64)
+    bg_a = np.array(bg, dtype=np.float64)
+    l_ink = float(w601 @ ink_a)
+    l_bg = float(w601 @ bg_a)
+    v = (img.astype(np.float64) - l_ink) / (l_bg - l_ink)
+    v = np.clip(v, 0.0, 1.0)[:, :, None]
+    return np.clip(
+        np.rint(ink_a[None, None, :] + (bg_a - ink_a)[None, None, :] * v), 0, 255
+    ).astype(np.uint8)
 
 
 def rgb_payload_and_meta(seed: int, ref: str, img: np.ndarray) -> tuple[bytes, dict]:
@@ -403,6 +415,7 @@ def _gen_chunk(args: tuple) -> tuple[list, list, list, list, list]:
         unsupported_jpeg_pct,
         invalid_pct,
         unsupported_tiff_pct,
+        color_jpeg_pct,
     ) = args
     doc_rows, media_rows, golden_rows, meta_rows, quarantine_rows = [], [], [], [], []
     n_skewed = int(n_docs * skew_doc_pct)
@@ -524,9 +537,18 @@ def _gen_chunk(args: tuple) -> tuple[list, list, list, list, list]:
                     and rgb_pct > 0
                     and _h(seed, "isrgb", i, off) % 1000 < rgb_pct * 1000
                 )
+                is_color_jpeg = (
+                    not is_jpeg
+                    and not is_prog_jpeg
+                    and not is_tiff
+                    and not is_rgb
+                    and color_jpeg_pct > 0
+                    and _h(seed, "iscjpeg", i, off) % 1000
+                    < color_jpeg_pct * 1000
+                )
                 if is_invalid or is_trunc or is_unsup_jpeg or is_unsup_tiff:
                     from ms_ocr_spark.extraction.ocr.jpeg import (
-                        encode_multicomponent_stub,
+                        encode_lossless_stub,
                         encode_progressive_stub,
                     )
                     from ms_ocr_spark.extraction.ocr.tiff import (
@@ -545,9 +567,10 @@ def _gen_chunk(args: tuple) -> tuple[list, list, list, list, list]:
                         )
                         fmt, reason = "tiff", "unsupported_tiff_layout"
                     elif is_unsup_jpeg:
-                        # color (3-component) header: layout outside the
-                        # grayscale codec's scope
-                        payload = encode_multicomponent_stub(
+                        # lossless (SOF3) header: the frame class that
+                        # genuinely remains outside scope now that color
+                        # frames decode (round 6)
+                        payload = encode_lossless_stub(
                             int(img.shape[0]), int(img.shape[1])
                         )
                         fmt, reason = "jpeg", "unsupported_jpeg_layout"
@@ -662,6 +685,58 @@ def _gen_chunk(args: tuple) -> tuple[list, list, list, list, list]:
                     # the identical conversion)
                     payload, rmeta = rgb_payload_and_meta(seed, ref, img)
                     meta_rows.append(rmeta)
+                elif is_color_jpeg:
+                    # color YCbCr JPEG tier (round 6): colorized render
+                    # encoded 3-component, variants rotating through the
+                    # decode scope — baseline 4:4:4 / 4:2:0 / 4:2:0 with
+                    # restarts / progressive 4:4:4 / progressive 4:2:0.
+                    # Golden metadata measures the DECODED BT.601
+                    # luminance (chroma subsampling is lossy; luminance
+                    # error stays inside the kernel's binarize margin).
+                    from ms_ocr_spark.extraction.ocr.jpeg import (
+                        decode_gray_jpeg as _dec_jpg,
+                        encode_color_jpeg,
+                        encode_color_jpeg_progressive,
+                    )
+
+                    hc = _h(seed, "cjpegvar", i, off)
+                    rgb = colorize(
+                        img,
+                        _RGB_INKS[hc % len(_RGB_INKS)],
+                        _RGB_BGS[(hc >> 4) % len(_RGB_BGS)],
+                    )
+                    ckw = dict(
+                        dpi=side["dpi"],
+                        icc_name=side["icc"][0] if side["icc"] else None,
+                        exif_orientation=side["orientation"],
+                    )
+                    variant = hc % 5
+                    if variant == 0:
+                        payload = encode_color_jpeg(rgb, "444", **ckw)
+                    elif variant == 1:
+                        payload = encode_color_jpeg(rgb, "420", **ckw)
+                    elif variant == 2:
+                        payload = encode_color_jpeg(
+                            rgb, "420", restart_interval=5, **ckw
+                        )
+                    elif variant == 3:
+                        payload = encode_color_jpeg_progressive(rgb, "444", **ckw)
+                    else:
+                        payload = encode_color_jpeg_progressive(rgb, "420", **ckw)
+                    dec = _dec_jpg(payload)
+                    meta_rows.append(
+                        {
+                            "media_ref": ref,
+                            "width": int(dec.shape[1]),
+                            "height": int(dec.shape[0]),
+                            "ink_ratio": round(float((dec < 128).mean()), 6),
+                            "mean_intensity": round(float(dec.mean()), 6),
+                            "format": "jpeg",
+                            "dpi": float(round(side["dpi"])) if side["dpi"] else None,
+                            "icc_name": side["icc"][0] if side["icc"] else None,
+                            "orientation": side["orientation"],
+                        }
+                    )
                 else:
                     payload = encode_gray(
                         img,
@@ -712,6 +787,7 @@ def gen_corpus(
     unsupported_jpeg_pct: float = 0.0,
     invalid_pct: float = 0.0,
     unsupported_tiff_pct: float = 0.0,
+    color_jpeg_pct: float = 0.0,
     processes: int | None = None,
 ) -> tuple[pa.Table, pa.Table, pa.Table, pa.Table, pa.Table]:
     """Build (documents, media_store, golden_spans, golden_media_meta,
@@ -747,6 +823,7 @@ def gen_corpus(
                 unsupported_jpeg_pct,
                 invalid_pct,
                 unsupported_tiff_pct,
+                color_jpeg_pct,
             )
         )
     if processes > 1:
@@ -807,8 +884,13 @@ def write_corpus(out_dir: str, n_docs: int, seed: int = 42, **kw) -> dict[str, s
     #        handakuten multi-component) glyphs — ja tiers regenerate
     # fmt 8: baseline-JPEG tier rotates restart intervals (None/4/11)
     # fmt 9: kana charset adds 8 common kanji — ja tiers regenerate
+    # fmt 10: color (3-component YCbCr) JPEGs decode — quarantine
+    #         unsupported_jpeg_layout fixture becomes lossless SOF3,
+    #         color_jpeg_pct tier added
+    # fmt 11: colorize is luminance-preserving (BT.601 anchored to the
+    #         gray value) — rgb/color tiers regenerate
     params = {
-        "fmt": 9,
+        "fmt": 11,
         "n_docs": n_docs,
         "seed": seed,
         **{k: kw[k] for k in sorted(kw) if k != "processes"},

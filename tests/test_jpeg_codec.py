@@ -183,9 +183,14 @@ def test_jpeg_scope_reasons():
     assert jpeg_scope_reason(encode_gray_jpeg(img)) is None
     assert jpeg_scope_reason(encode_gray_jpeg_progressive(img)) is None
     assert jpeg_scope_reason(encode_progressive_stub()) == "truncated_jpeg"
+    # round 6: 3-component (color) frames are IN scope — the header-only
+    # stub now reads as a transfer-cut color JPEG; the layout-quarantine
+    # fixture is the lossless (SOF3) stub
+    assert jpeg_scope_reason(encode_multicomponent_stub()) == "truncated_jpeg"
+    from ms_ocr_spark.extraction.ocr.jpeg import encode_lossless_stub
+
     assert (
-        jpeg_scope_reason(encode_multicomponent_stub())
-        == "unsupported_jpeg_layout"
+        jpeg_scope_reason(encode_lossless_stub()) == "unsupported_jpeg_layout"
     )
     # cut mid-markers -> truncated
     assert jpeg_scope_reason(encode_gray_jpeg(img)[:12]) == "truncated_jpeg"
@@ -291,3 +296,154 @@ def test_dri_scope_baseline_ok_progressive_unsupported():
     assert jpeg_scope_reason(with_dri) == "unsupported_jpeg_layout"
     with pytest.raises(ValueError):
         decode_gray_jpeg(with_dri)
+
+
+# ------------------------------------------------------------------- color
+from ms_ocr_spark.extraction.ocr.jpeg import (  # noqa: E402
+    _box_downsample,
+    decode_jpeg_rgb,
+    encode_color_jpeg,
+    encode_color_jpeg_progressive,
+    rgb_to_ycbcr,
+    ycbcr_to_rgb,
+)
+
+
+def _color_zoo() -> list[np.ndarray]:
+    rng = np.random.default_rng(61)
+    zoo = [rng.integers(0, 256, (40, 72, 3), dtype=np.uint8)]  # noise
+    g = np.zeros((33, 41, 3), np.uint8)  # odd dims, steep gradients
+    g[..., 0] = np.linspace(0, 255, 41, dtype=np.uint8)[None, :]
+    g[..., 1] = np.linspace(255, 0, 33, dtype=np.uint8)[:, None]
+    g[..., 2] = 77
+    zoo.append(g)
+    zoo.append(np.full((8, 8, 3), 200, np.uint8))  # single MCU-sub block
+    t = np.full((64, 128, 3), 245, np.uint8)  # sparse ink (EOB runs)
+    t[30:33, 60:63] = (180, 30, 30)
+    zoo.append(t)
+    return zoo
+
+
+def _ideal_420(rgb: np.ndarray) -> np.ndarray:
+    """Chroma 2x2 box-downsample + replicate-upsample roundtrip — the
+    information genuinely discarded by 4:2:0; the codec must stay
+    within DCT-rounding distance of THIS, not of the original."""
+    h, w = rgb.shape[:2]
+    y, cb, cr = rgb_to_ycbcr(rgb)
+    up = lambda p: np.repeat(np.repeat(_box_downsample(p, 2, 2), 2, 0), 2, 1)[
+        :h, :w
+    ]
+    return ycbcr_to_rgb(y, up(cb), up(cr))
+
+
+def test_color_roundtrip_within_subsampling_loss():
+    for rgb in _color_zoo():
+        for samp in ("444", "420"):
+            ref = rgb if samp == "444" else _ideal_420(rgb)
+            for enc in (encode_color_jpeg, encode_color_jpeg_progressive):
+                out = decode_jpeg_rgb(enc(rgb, samp))
+                assert out.shape == rgb.shape
+                err = np.abs(out.astype(int) - ref.astype(int)).max()
+                assert err <= 8, (samp, enc.__name__, err)
+
+
+def test_color_luminance_invariant_under_chroma_subsampling():
+    """BT.601 gray of the decoded RGB matches the gray of the source to
+    within rounding even at 4:2:0 — the property the OCR path relies on:
+    chroma error cancels out of the re-derived luminance AS LONG AS the
+    reconstructed RGB doesn't clip (out-of-gamut YCbCr breaks the
+    cancellation: random-noise colors hit it hard, and saturated corpus
+    inks like (0,0,128) clip a few STROKE-EDGE pixels — the error lands
+    next to the ink level, ~100 gray levels from the binarize
+    threshold).  So the load-bearing assertion is binarized equality —
+    exactly what the OCR kernel consumes — plus a loose absolute
+    bound."""
+    from ms_ocr_spark.extraction.ocr.glyphs import render_text
+    from ms_ocr_spark.extraction.ocr.png import rgb_to_gray
+    from ms_ocr_spark.sources.datagen import _RGB_BGS, _RGB_INKS, colorize
+
+    gray = render_text("COLOR JPEG\nLUMA 42")
+    for ink, bg in zip(_RGB_INKS, _RGB_BGS):
+        rgb = colorize(gray, ink, bg)
+        src = rgb_to_gray(rgb)
+        for samp in ("444", "420"):
+            for enc in (encode_color_jpeg, encode_color_jpeg_progressive):
+                got = rgb_to_gray(decode_jpeg_rgb(enc(rgb, samp)))
+                assert np.array_equal(got < 128, src < 128), (ink, samp)
+                err = np.abs(got.astype(int) - src.astype(int)).max()
+                assert err <= 32, (ink, samp, enc.__name__, err)
+
+
+def test_color_gray_dispatch_and_scope():
+    rgb = _color_zoo()[1]
+    for samp in ("444", "420"):
+        b = encode_color_jpeg(rgb, samp)
+        p = encode_color_jpeg_progressive(rgb, samp)
+        assert jpeg_scope_reason(b) is None
+        assert jpeg_scope_reason(p) is None
+        assert is_progressive_jpeg(p) and not is_progressive_jpeg(b)
+        # decode_gray_jpeg dispatches 3-component frames through the
+        # color core -> BT.601 gray
+        g = decode_gray_jpeg(b)
+        assert g.shape == rgb.shape[:2] and g.dtype == np.uint8
+
+
+def test_color_restart_intervals():
+    rgb = _color_zoo()[0]
+    plain = decode_jpeg_rgb(encode_color_jpeg(rgb, "420"))
+    for ri in (1, 3, 7):
+        b = encode_color_jpeg(rgb, "420", restart_interval=ri)
+        assert jpeg_scope_reason(b) is None
+        assert np.array_equal(decode_jpeg_rgb(b), plain), ri
+
+
+def test_color_side_values():
+    from ms_ocr_spark.extraction.ocr.jpeg import jpeg_side_values
+
+    rgb = np.full((16, 24, 3), 120, np.uint8)
+    b = encode_color_jpeg(rgb, "420", dpi=200.0, icc_name="sRGB", exif_orientation=6)
+    sv = jpeg_side_values(b)
+    assert sv == {"dpi": 200.0, "icc_name": "sRGB", "orientation": 6}
+    p = encode_color_jpeg_progressive(
+        rgb, "444", dpi=150.0, icc_name="AdobeRGB", exif_orientation=3
+    )
+    sv = jpeg_side_values(p)
+    assert sv == {"dpi": 150.0, "icc_name": "AdobeRGB", "orientation": 3}
+
+
+def test_colorize_is_luminance_preserving():
+    """lum(colorize(g)) == clip(g, L_ink, L_bg) +/- 1 — the datagen
+    invariant that gives colorized tiers the gray tiers' exact decode
+    margins (a plain 0..255 ramp shifted the binarize threshold and
+    thinned rotated glyph strokes)."""
+    from ms_ocr_spark.extraction.ocr.png import rgb_to_gray
+    from ms_ocr_spark.sources.datagen import _RGB_BGS, _RGB_INKS, colorize
+
+    g = np.random.default_rng(9).integers(0, 256, (30, 40), dtype=np.uint8)
+    w = np.array([0.299, 0.587, 0.114])
+    for ink in _RGB_INKS:
+        for bg in _RGB_BGS:
+            lum = rgb_to_gray(colorize(g, ink, bg))
+            lo, hi = w @ np.array(ink), w @ np.array(bg)
+            tgt = np.clip(g, np.ceil(lo), np.floor(hi))
+            assert np.abs(lum.astype(float) - tgt).max() <= 1.0, (ink, bg)
+
+
+def test_color_tier_ocr_exact():
+    """Every color-JPEG payload in the tier (rotating baseline 4:4:4 /
+    4:2:0 / 4:2:0+RSTn / progressive 4:4:4 / 4:2:0) decodes to its
+    exact truth text through the full kernel."""
+    from ms_ocr_spark.extraction.ocr import decode_media
+    from ms_ocr_spark.extraction.ocr.kernel import decode_image
+    from ms_ocr_spark.sources.datagen import gen_corpus
+
+    _, media, _, meta, _ = gen_corpus(20, seed=53, color_jpeg_pct=0.6, processes=1)
+    n_color = 0
+    for row in media.to_pylist():
+        buf = bytes(row["payload"])
+        if buf[:3] == b"\xff\xd8\xff":
+            n_color += 1
+        assert decode_image(decode_media(buf)) == row["truth_text"], row[
+            "media_ref"
+        ]
+    assert n_color >= 5
