@@ -194,11 +194,31 @@ _HIRA_FONT: dict[str, tuple[str, ...]] = {
     "ぷ": ("...XX", "...XX", ".X...", "X....", ".XXX.", "X...X", ".X.X."),
 }
 
-# Common kanji (round 5 — a real `ja` document is mostly hiragana +
-# kanji; the reference's jpn model charset covers thousands, this is a
-# representative full-height single-component subset proving the decode
-# path handles the class — same constraints as unvoiced kana, margins
-# asserted by tests/test_kana_glyphs.py).
+# Kanji (round 5: 8 proving glyphs; round 6: the kyoiku GRADE-1 set —
+# 79 of the 80 grade-1 characters, per the reference's jpn model scope,
+# `engine_tesseract/main.py:32-70`, CRNN charset `engine_realtime/
+# charset_crnn.py:137`).  Same constraints as unvoiced kana (ONE
+# 8-connected component, full height, pairwise decode margin asserted
+# by tests/test_kana_glyphs.py) with two documented exceptions:
+#
+#   * 口 (mouth) is EXCLUDED: at 5x7 it is a pixel-exact homoglyph of
+#     katakana ロ in the same charset (real typography has the same
+#     confusion); decoding would be ambiguous, so the inventory carries
+#     ロ only.
+#   * 一 (one) is the charset's single BAR glyph: a 1-row horizontal
+#     bar, deliberately NOT full height.  It trims to the "short" size
+#     class and an extreme aspect, so the class/aspect gates isolate it
+#     from every tall glyph; an all-bar line classes it tall first and
+#     recovers via the opposite-class retry (_CLASS_RETRY_DIST).  It is
+#     excluded from VERTICAL tiers (KANA_VERT_ALPHABET) — vertical
+#     decode forces the tall class, the same charset restriction the
+#     reference's jpn_vert mode carries.
+#
+# Strokes that are disconnected in print (二's bars, 三's bars, 八's
+# sweeps, 川's three strokes...) are joined by a minimal ligature pixel
+# — a blank interior row would let the line-band segmenter split the
+# glyph horizontally (_bands_1d min_blank=4 < the 6 px a blank font row
+# leaves), so connectivity is a hard constraint, not a style choice.
 _KANJI_FONT: dict[str, tuple[str, ...]] = {
     "日": ("XXXXX", "X...X", "X...X", "XXXXX", "X...X", "X...X", "XXXXX"),
     "月": ("XXXXX", "X...X", "XXXXX", "X...X", "XXXXX", "....X", "...X."),
@@ -208,6 +228,77 @@ _KANJI_FONT: dict[str, tuple[str, ...]] = {
     "木": ("..X..", "XXXXX", ".XXX.", "X.X.X", "..X..", ".X.X.", "X...X"),
     "中": ("..X..", "XXXXX", "X...X", "XXXXX", "..X..", "..X..", "..X.."),
     "大": ("..X..", "..X..", "XXXXX", "..X..", ".X.X.", ".X.X.", "X...X"),
+    "一": (".....", ".....", ".....", "XXXXX", ".....", ".....", "....."),
+    "二": ("XXXXX", "X....", "X....", "X....", "X....", "X....", "XXXXX"),
+    "三": ("XXXXX", "X....", "X....", "XXXXX", "X....", "X....", "XXXXX"),
+    "四": ("XXXXX", "X.X.X", "X.X.X", "X.X.X", "XXXXX", "X...X", "XXXXX"),
+    "五": ("XXXXX", "..X..", "..X..", ".XXX.", ".X.X.", ".X.X.", "XXXXX"),
+    "六": ("..X..", "XXXXX", ".X.X.", ".X.X.", "X...X", "X...X", "X...X"),
+    "七": ("....X", "...X.", "XXXXX", "..X..", "..X..", "..X.X", "..XXX"),
+    "八": ("..X..", ".X.X.", ".X.X.", "X...X", "X...X", "X...X", "X...X"),
+    "九": ("..X..", "..X..", "XXXXX", ".X.X.", ".X.X.", "X..X.", "X..XX"),
+    "十": ("..X..", "..X..", "..X..", "XXXXX", "..X..", "..X..", "..X.."),
+    "百": ("XXXXX", "..X..", "XXXXX", "X...X", "X...X", "X...X", "XXXXX"),
+    "千": ("...X.", "..X..", "XXXXX", "..X..", "..X..", "..X..", "..X.."),
+    "円": ("XXXXX", "X.X.X", "X.X.X", "XXXXX", "X...X", "X...X", "X...X"),
+    "目": ("XXXXX", "X...X", "XXXXX", "X...X", "XXXXX", "X...X", "XXXXX"),
+    "耳": ("XXXXX", ".X.X.", ".XXX.", ".X.X.", ".XXX.", ".X.X.", "X...X"),
+    "手": (".XXX.", "..X..", "XXXXX", "..X..", "XXXXX", "..X..", ".XX.."),
+    "足": (".XXX.", ".X.X.", ".XXX.", "..X..", "..XXX", ".X...", "XXXXX"),
+    "力": ("..X..", "..X..", "XXXXX", ".X..X", ".X..X", "X...X", "X..XX"),
+    "王": ("XXXXX", "..X..", "..X..", "XXXXX", "..X..", "..X..", "XXXXX"),
+    "玉": ("XXXXX", "..X..", "..X..", "XXXXX", "..XX.", ".XX.X", "XXXXX"),
+    "石": ("XXXXX", "..X..", ".X...", ".XXXX", ".X..X", ".X..X", ".XXXX"),
+    "川": ("X.X.X", "X.X.X", "X.X.X", "X.X.X", "X.X.X", "X.X.X", "XXXXX"),
+    "水": ("..X..", "X.X.X", ".XXX.", "..X..", ".XXX.", "X.X.X", "..X.."),
+    "火": ("..X..", ".X.X.", "..X..", "..X..", ".X.X.", ".X.X.", "X...X"),
+    "花": (".X.X.", "XXXXX", "X.X.X", "X.X.X", "X.XX.", "X.X..", "X.XXX"),
+    "草": (".X.X.", "XXXXX", ".X.X.", ".XXX.", "XXXXX", "..X..", "..X.."),
+    "竹": ("X..X.", "XX.XX", "X..X.", "XXXX.", "X..X.", "X..X.", "X..X."),
+    "犬": ("..X.X", "..XX.", "XXXXX", "..X..", ".X.X.", "X...X", "X..XX"),
+    "虫": ("..X..", "XXXXX", "X.X.X", "XXXXX", "..X..", "..X.X", "XXXX."),
+    "貝": ("XXXXX", "X...X", "XXXXX", "X...X", "XXXXX", ".X.X.", "X...X"),
+    "金": ("..X..", ".X.X.", "XXXXX", "..X..", "XXXXX", "..X..", "XXXXX"),
+    "土": ("..X..", "..X..", "XXXXX", "..X..", "..X..", "..X..", "XXXXX"),
+    "天": ("XXXXX", "..X..", "XXXXX", "..X..", ".X.X.", ".X.X.", "X...X"),
+    "空": ("..X..", "XXXXX", ".X.X.", "XXXXX", "..X..", "..X..", "XXXXX"),
+    "雨": ("XXXXX", "..X..", "XXXXX", "X.X.X", "X.X.X", "X.X.X", "XXXXX"),
+    "夕": ("..XX.", ".X..X", "X.X.X", ".X..X", "..XX.", "..X..", ".X..."),
+    "立": ("..X..", "XXXXX", "..X..", ".X.X.", "..X..", "..X..", "XXXXX"),
+    "正": ("XXXXX", "..X..", "..XXX", "..X..", "X.X..", "X.X..", "XXXXX"),
+    "出": ("..X..", "X.X.X", "XXXXX", "..X..", "X.X.X", "X.X.X", "XXXXX"),
+    "入": ("..X..", "...X.", "..XX.", ".X.X.", ".X.X.", "X...X", "X..XX"),
+    "右": ("..X..", "XXXXX", ".X...", ".XXXX", ".X..X", ".X..X", ".XXXX"),
+    "左": ("..X..", "XXXXX", ".X...", "X.XX.", "..X..", "..X..", ".XXXX"),
+    "上": ("..X..", "..X..", "..X..", "..XXX", "..X..", "..X..", "XXXXX"),
+    "下": ("XXXXX", "..X..", "..XXX", "..X..", "..X..", "..X..", "..X.."),
+    "生": (".X...", "XXXXX", "..X..", "XXXXX", "..X..", "..X..", "XXXXX"),
+    "年": (".XXXX", "X....", "XXXXX", "..X..", "XXXXX", "..X..", "..X.."),
+    "白": ("..X..", "XXXXX", "X...X", "XXXXX", "X...X", "X...X", "XXXXX"),
+    "赤": ("..X..", "XXXXX", "..X..", "XXXXX", ".X.X.", "X.X.X", "X.X.X"),
+    "青": ("..X..", "XXXXX", "..X..", "XXXXX", "X...X", "XXXXX", "X...X"),
+    "先": (".X...", "XXXXX", "..X..", "XXXXX", ".X.X.", ".X.X.", "X...X"),
+    "早": (".XXX.", ".X.X.", ".XXX.", "..X..", "XXXXX", "..X..", "..X.."),
+    "休": ("X..X.", "XXXXX", "X..X.", "X.XXX", "X.X.X", "X..X.", "X..X."),
+    "見": ("XXXXX", "X.X.X", "XXXXX", "X.X.X", "XXXXX", ".X.X.", ".X.XX"),
+    "名": ("..XX.", ".X.X.", "..X..", ".XXXX", ".X..X", ".X..X", ".XXXX"),
+    "字": ("..X..", "XXXXX", "...X.", "XXXXX", "..X..", "..X..", ".XX.."),
+    "学": ("X.X.X", "XXXXX", ".X...", "XXXXX", "..X..", "..X..", ".XX.."),
+    "校": ("X..X.", "XXXXX", "X.X.X", "X..X.", "X..X.", "X.X.X", "X.X.X"),
+    "村": ("X..X.", "XXXXX", "X..X.", "X.XXX", "X..X.", "X..X.", "X.XX."),
+    "町": ("XXXXX", "X.X.X", "XXX.X", "X.X.X", "XXX.X", "....X", "....X"),
+    "森": ("..X..", "XXXXX", "..X..", "X.X.X", "XXXXX", "X.X.X", "X.X.X"),
+    "林": (".X.X.", "XXXXX", ".X.X.", ".X.X.", ".X.X.", "XX.XX", ".X.X."),
+    "本": ("..X..", "XXXXX", ".XXX.", "X.X.X", "..X..", ".XXX.", "..X.."),
+    "文": ("..X..", "XXXXX", ".X.X.", ".X.X.", "..X..", ".X.X.", "X...X"),
+    "気": (".X...", "XXXXX", ".X...", "XXXXX", "..X.X", ".X.X.", "X..XX"),
+    "糸": ("..X..", ".X.X.", "..X..", ".X.X.", "..X..", ".XXX.", "X.X.X"),
+    "車": ("..X..", "XXXXX", "X.X.X", "XXXXX", "X.X.X", "XXXXX", "..X.."),
+    "男": ("XXXXX", "X.X.X", "XXXXX", "..X..", "XXXXX", ".X.X.", "X..X."),
+    "女": ("..X..", "..X..", "XXXXX", ".X.X.", "..X..", ".X.X.", "X...X"),
+    "子": ("XXXXX", "...X.", "..X..", "XXXXX", "..X..", "..X..", ".XX.."),
+    "小": ("..X..", "..X..", ".XXX.", "X.X.X", "X.X.X", "..X..", "..X.."),
+    "音": ("..X..", "XXXXX", ".X.X.", "XXXXX", "X...X", "X...X", "XXXXX"),
 }
 # fmt: on
 
@@ -217,10 +308,15 @@ _FONT.update(_KANJI_FONT)
 
 # glyphs whose diacritic mark is a SEPARATE connected component
 VOICED_KANA = "がざだばぴぷ"
+# short-class bar glyphs (round 6): not full height, horizontal only
+BAR_KANJI = "一"
 
 _JA_CHARS = set(_KANA_FONT) | set(_HIRA_FONT) | set(_KANJI_FONT)
 ALPHABET = "".join(sorted(set(_FONT) - _JA_CHARS))
 KANA_ALPHABET = "".join(sorted(_JA_CHARS))
+# vertical tiers: tall-class glyphs only (vertical decode has no line
+# height context, so it forces the tall class — bar glyphs can't class)
+KANA_VERT_ALPHABET = "".join(sorted(_JA_CHARS - set(BAR_KANJI)))
 GLYPH_W, GLYPH_H = 5, 7
 ADVANCE = 7  # font px from glyph start to next glyph start (2 px inter-glyph gap)
 SPACE_EXTRA = 4  # extra font px of gap marking a word space

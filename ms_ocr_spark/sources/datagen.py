@@ -166,14 +166,17 @@ def make_vertical_square_truth(seed: int, doc_i: int, off: int) -> str:
     (reference `src/controller/Ocr.ts:37-39`, psm 5 vertical at
     `engine_tesseract/main.py:32-70`).  Round 4: the glyphs are katakana
     (kana charset), so the routing column also selects the CHARSET the way
-    the reference's jpn_vert mode loads a different model."""
-    from ms_ocr_spark.extraction.ocr.glyphs import KANA_ALPHABET
+    the reference's jpn_vert mode loads a different model.  Round 6:
+    samples KANA_VERT_ALPHABET — the tall-class ja inventory (bar glyphs
+    like 一 are horizontal-only; vertical decode forces the tall class,
+    the same restriction the reference's jpn_vert mode carries)."""
+    from ms_ocr_spark.extraction.ocr.glyphs import KANA_VERT_ALPHABET as _VA
 
     h = _h(seed, "sqmedia", doc_i, off)
     k = 2 + h % 2
     return "\n".join(
         "".join(
-            KANA_ALPHABET[_h(seed, "sqch", doc_i, off, ci, ri) % len(KANA_ALPHABET)]
+            _VA[_h(seed, "sqch", doc_i, off, ci, ri) % len(_VA)]
             for ri in range(k)
         )
         for ci in range(k)
@@ -889,8 +892,11 @@ def write_corpus(out_dir: str, n_docs: int, seed: int = 42, **kw) -> dict[str, s
     #         color_jpeg_pct tier added
     # fmt 11: colorize is luminance-preserving (BT.601 anchored to the
     #         gray value) — rgb/color tiers regenerate
+    # fmt 12: ja charset expands to kyoiku grade-1 kanji (79 of 80;
+    #         ~61% of uniform ja text is kanji) — ja tiers regenerate;
+    #         vertical tiers sample KANA_VERT_ALPHABET (no bar glyphs)
     params = {
-        "fmt": 11,
+        "fmt": 12,
         "n_docs": n_docs,
         "seed": seed,
         **{k: kw[k] for k in sorted(kw) if k != "processes"},

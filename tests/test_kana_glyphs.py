@@ -29,7 +29,24 @@ from ms_ocr_spark.extraction.ocr.kernel import (
 
 def test_kana_disjoint_from_latin():
     assert not set(KANA_ALPHABET) & set(ALPHABET)
-    assert len(KANA_ALPHABET) >= 48  # round 5: katakana + hiragana + voiced
+    # round 6: katakana + hiragana + voiced + kyoiku grade-1 kanji
+    assert len(KANA_ALPHABET) >= 128
+
+
+def test_grade1_kanji_inventory():
+    """79 of the 80 kyoiku grade-1 kanji are decodable (reference jpn
+    model scope); 口 is excluded as a pixel-exact homoglyph of katakana
+    ロ at 5x7 (same-charset ambiguity)."""
+    from ms_ocr_spark.extraction.ocr.glyphs import _KANJI_FONT
+
+    grade1 = (
+        "一右雨円王音下火花貝学気九休玉金空月犬見五口校左三山子四糸字耳七"
+        "車手十出女小上森人水正生青夕石赤千川先早草足村大男竹中虫町天田土"
+        "二日入年白八百文木本名目立力林六"
+    )
+    assert len(set(grade1)) == 80
+    missing = set(grade1) - set(_KANJI_FONT)
+    assert missing == {"口"}, missing
 
 
 def test_kana_glyphs_component_structure_full_height():
@@ -39,11 +56,21 @@ def test_kana_glyphs_component_structure_full_height():
     0-1 / cols 3-4 plus a base at rows 2-6 whose row-2 ink stays in cols
     0-1 — the geometry that makes the kernel's existing x-overlap /
     y-gap proximity merges group mark with base in BOTH layouts."""
-    from ms_ocr_spark.extraction.ocr.glyphs import VOICED_KANA
+    from ms_ocr_spark.extraction.ocr.glyphs import BAR_KANJI, VOICED_KANA
 
     for ch in KANA_ALPHABET:
         bm = glyph_bitmap(ch)
+        if ch in BAR_KANJI:
+            # round 6: bar glyphs (一) are the ja short class — a single
+            # ink run, NOT full height, excluded from vertical tiers
+            assert len(connected_components(bm)) == 1, ch
+            rows = np.nonzero(bm.any(axis=1))[0]
+            assert rows.max() - rows.min() + 1 <= 2, ch
+            continue
         assert bm[0].any() and bm[-1].any(), ch
+        # no blank interior row: a >= 1-font-row gap (3 device px) would
+        # let _bands_1d (min_blank=4) split the glyph into two "lines"
+        assert bm.any(axis=1).all(), ch
         if ch in VOICED_KANA:
             assert len(connected_components(bm)) == 2, ch
             assert not bm[:2, :3].any(), ch  # mark confined to cols 3-4
@@ -181,3 +208,57 @@ def test_kana_square_grid_needs_routing():
     img = render_vertical_image(49, "img-x", truth)
     assert decode_image(img, "ja_vert") == truth
     assert decode_image(img, None) != truth
+
+
+@pytest.mark.parametrize("deg", [-3.0, -1.5, 0.0, 2.0, 3.0])
+def test_kanji_horizontal_decode(deg):
+    txt = "日本 学校\n一年生 大小"
+    img = render_text(txt)
+    if deg:
+        img = rotate_bilinear(img, deg)
+    assert decode_image(img, "ja") == txt
+
+
+def test_bar_kanji_all_short_line_decodes():
+    """A line containing ONLY bar glyphs has no tall anchor — every crop
+    classes tall first, scores garbage against tall templates, and the
+    opposite-class retry (_CLASS_RETRY_DIST) recovers the short class."""
+    for txt in ["一", "一一", "一 一一", "一一 一 一一"]:
+        assert decode_image(render_text(txt), "ja") == txt
+
+
+def test_vertical_alphabet_excludes_bar_glyphs():
+    """Vertical decode forces the tall class (no line-height context), so
+    the vertical sampler alphabet must not contain bar glyphs."""
+    from ms_ocr_spark.extraction.ocr.glyphs import (
+        BAR_KANJI,
+        KANA_VERT_ALPHABET,
+    )
+
+    assert not set(BAR_KANJI) & set(KANA_VERT_ALPHABET)
+    assert set(KANA_VERT_ALPHABET) | set(BAR_KANJI) == set(KANA_ALPHABET)
+
+
+def test_kanji_vertical_decode():
+    from ms_ocr_spark.sources.datagen import _VCHAR_PITCH_FPX, _VCOL_PITCH_FPX
+    from ms_ocr_spark.extraction.ocr.glyphs import render_placed
+
+    cols = ["日本学", "大中小", "山川田"]
+    n = len(cols)
+    placed = [
+        ((n - 1 - li) * _VCOL_PITCH_FPX, ci * _VCHAR_PITCH_FPX, ch)
+        for li, col in enumerate(cols)
+        for ci, ch in enumerate(col)
+    ]
+    assert decode_image(render_placed(placed), "ja_vert") == "\n".join(cols)
+
+
+def test_every_ja_glyph_decodes_under_rotation():
+    """Exhaustive: each of the 130 ja glyphs, paired with an anchor so
+    the line has tall context, decodes exactly at corpus rotations."""
+    for ch in KANA_ALPHABET:
+        for deg in (-3.0, 0.0, 3.0):
+            img = render_text(ch + "ア")
+            if deg:
+                img = rotate_bilinear(img, deg)
+            assert decode_image(img, "ja") == ch + "ア", (ch, deg)
