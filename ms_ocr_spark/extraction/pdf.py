@@ -1,13 +1,32 @@
 """PDF text extraction source (north_rule 'PDF/layout parse').
 
-A minimal but real parser for the text layer of PDF files: object scan,
-FlateDecode content streams (stdlib zlib), and the standard text-showing
-operator subset — `BT`/`ET` text blocks, `Tm` (text matrix — e/f
-translation consumed), `Td`/`TD` (line translation), `Tj`, `'` and the
-array form `TJ`, with PDF string escapes.  Covers the engine's own sink
-dialect (`operators/sinks.py::pdf_from_boxes`) and any single-content-
-stream PDF using those operators; anything unparsable raises ValueError
-so the pipeline's quarantine catch applies.
+A minimal but real parser for the text layer of PDF files.  Round 5 laid
+down the core (object scan, FlateDecode content streams, BT/ET + Tm/Td/
+TD/Tj/TJ with string escapes); round 6 widens it to the modern file
+layout (VERDICT r5 item 5):
+
+  * cross-reference parsing — classic `xref` tables AND xref STREAMS
+    (/Type/XRef, /W field widths, /Index subsections, FlateDecode with
+    PNG /Predictor 12 row-filtering), following the /Prev chain through
+    incremental updates.  Object offsets from the xref take precedence
+    over the whole-file scan, so a superseded or orphaned object body
+    later in the file cannot shadow the live one — the scan remains as
+    the tolerant fallback for linearized/cut files.
+  * compressed object streams (/Type/ObjStm, /N pairs + /First): type-2
+    xref entries resolve through the container's offset table.
+  * multiple content streams per page (/Contents array): concatenated
+    in array order with a newline, per spec (ISO 32000-1 7.8.2).
+  * indirect /Length references (`/Length N 0 R`) resolve through the
+    object table.
+  * text-state operators `TL` (leading), `T*` (next line) and `'`
+    (next line + show), with Td/TD/Tm maintaining the LINE start the
+    way the spec's text line matrix does (TD also sets leading).
+
+Covers the engine's own sink dialect (`operators/sinks.py::
+pdf_from_boxes`, classic layout) and the modern-layout fixture
+(`datagen.pdf_modern_bytes`: ObjStm + xref stream + 2-stream pages +
+incremental update); anything unparsable raises ValueError so the
+pipeline's quarantine catch applies.
 
 This is a SOURCE: the reference service only ever renders PDF overlays
 out; the north rule's extraction mandate ("HTML boilerplate strip,
@@ -21,36 +40,221 @@ import re
 import zlib
 
 _OBJ_RE = re.compile(rb"(\d+) 0 obj\b(.*?)endobj", re.S)
+_OBJ_AT_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.S)
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
 _STREAM_KW_RE = re.compile(rb"stream(?:\r\n|\n)")
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?![ \t]+\d+[ \t]+R)")
+_LENGTH_REF_RE = re.compile(rb"/Length\s+(\d+)\s+\d+\s+R")
 _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
+_CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[(.*?)\]", re.S)
 _KIDS_RE = re.compile(rb"/Kids\s*\[(.*?)\]", re.S)
 _REF_RE = re.compile(rb"(\d+)\s+0\s+R")
+_STARTXREF_RE = re.compile(rb"startxref\s+(\d+)")
+_PREV_RE = re.compile(rb"/Prev\s+(\d+)")
+_W_RE = re.compile(rb"/W\s*\[\s*(\d+)\s+(\d+)\s+(\d+)\s*\]")
+_INDEX_RE = re.compile(rb"/Index\s*\[((?:\s*\d+)+)\s*\]")
+_SIZE_RE = re.compile(rb"/Size\s+(\d+)")
+_N_RE = re.compile(rb"/N\s+(\d+)")
+_FIRST_RE = re.compile(rb"/First\s+(\d+)")
+_PRED_RE = re.compile(rb"/Predictor\s+(\d+)")
+_COLS_RE = re.compile(rb"/Columns\s+(\d+)")
+
+
+def _png_unpredict(data: bytes, columns: int) -> bytes:
+    """Undo PNG row filtering (/Predictor >= 10) on decoded xref-stream
+    bytes: each row is 1 filter byte + `columns` data bytes.  Real
+    writers emit filter 2 (Up) for xref streams; 0 (None) and 1 (Sub)
+    are handled for completeness."""
+    row_w = columns + 1
+    if len(data) % row_w:
+        raise ValueError("predictor row size mismatch")
+    out = bytearray()
+    prev = bytearray(columns)
+    for r in range(0, len(data), row_w):
+        ftype = data[r]
+        row = bytearray(data[r + 1 : r + row_w])
+        if ftype == 2:  # Up
+            for i in range(columns):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 1:  # Sub
+            for i in range(1, columns):
+                row[i] = (row[i] + row[i - 1]) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unsupported PNG predictor filter {ftype}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _int_at(buf: bytes, pos: int, width: int) -> int:
+    return int.from_bytes(buf[pos : pos + width], "big") if width else 0
+
+
+def _parse_xref_at(data: bytes, pos: int, entries: dict[int, tuple]) -> int | None:
+    """Parse one xref section (classic table or xref stream) at `pos`;
+    fills `entries` (first writer wins — newest section is parsed first,
+    so /Prev chains preserve incremental-update precedence).  Returns the
+    /Prev offset or None."""
+    if data[pos : pos + 4] == b"xref":
+        # classic table: subsections "start count" then 20-byte entries
+        p = pos + 4
+        while True:
+            m = re.match(rb"\s*(\d+)\s+(\d+)\s*", data[p:])
+            if not m:
+                break
+            start, count = int(m.group(1)), int(m.group(2))
+            p += m.end()
+            for i in range(count):
+                line = data[p : p + 20]
+                p += 20
+                if len(line) < 18:
+                    raise ValueError("truncated xref table")
+                off, _gen, kind = line[:10], line[11:16], line[17:18]
+                if kind == b"n" and (start + i) not in entries:
+                    entries[start + i] = (1, int(off), 0)
+        tm = re.search(rb"trailer", data[pos:p + 512])
+        tail = data[pos + (tm.end() if tm else 0) : p + 1024]
+        pm = _PREV_RE.search(tail)
+        return int(pm.group(1)) if pm else None
+    # xref STREAM: an ordinary "N G obj" with /Type/XRef
+    m = _OBJ_AT_RE.match(data, pos)
+    if not m:
+        raise ValueError("no xref section at startxref offset")
+    body = m.group(2)
+    if b"/XRef" not in body:
+        raise ValueError("object at startxref offset is not an XRef stream")
+    wm = _W_RE.search(body)
+    if not wm:
+        raise ValueError("XRef stream missing /W")
+    w1, w2, w3 = (int(wm.group(i)) for i in (1, 2, 3))
+    raw = _raw_stream_bytes(body)
+    if b"/FlateDecode" in body:
+        raw = zlib.decompress(raw)
+    pm = _PRED_RE.search(body)
+    if pm and int(pm.group(1)) >= 10:
+        cm = _COLS_RE.search(body)
+        raw = _png_unpredict(raw, int(cm.group(1)) if cm else w1 + w2 + w3)
+    im = _INDEX_RE.search(body)
+    if im:
+        nums = [int(t) for t in im.group(1).split()]
+        index = list(zip(nums[0::2], nums[1::2]))
+    else:
+        sm = _SIZE_RE.search(body)
+        index = [(0, int(sm.group(1)) if sm else 0)]
+    row_w = w1 + w2 + w3
+    p = 0
+    for start, count in index:
+        for i in range(count):
+            if p + row_w > len(raw):
+                raise ValueError("truncated XRef stream data")
+            ftype = _int_at(raw, p, w1) if w1 else 1
+            f2 = _int_at(raw, p + w1, w2)
+            f3 = _int_at(raw, p + w1 + w2, w3)
+            p += row_w
+            num = start + i
+            if num not in entries and ftype in (1, 2):
+                entries[num] = (ftype, f2, f3)
+    prev = _PREV_RE.search(body)
+    return int(prev.group(1)) if prev else None
+
+
+def _pdf_xref_entries(data: bytes) -> dict[int, tuple]:
+    """obj number -> (1, byte offset, _) | (2, container objstm, index),
+    newest incremental-update section winning.  Raises when the file has
+    no usable startxref (caller falls back to the whole-file scan)."""
+    sm = None
+    for sm in _STARTXREF_RE.finditer(data):
+        pass  # last startxref = newest update section
+    if not sm:
+        raise ValueError("no startxref")
+    entries: dict[int, tuple] = {}
+    pos, seen = int(sm.group(1)), set()
+    while pos is not None and pos not in seen and 0 <= pos < len(data):
+        seen.add(pos)
+        pos = _parse_xref_at(data, pos, entries)
+    if not entries:
+        raise ValueError("empty xref")
+    return entries
+
+
+def _expand_objstm(body: bytes, objs: dict[int, bytes]) -> None:
+    """Inline every object of a /Type/ObjStm container into `objs`
+    (existing entries win — xref-resolved objects take precedence)."""
+    nm, fm = _N_RE.search(body), _FIRST_RE.search(body)
+    if not (nm and fm):
+        raise ValueError("ObjStm missing /N or /First")
+    content = _content_stream(body)
+    if content is None:
+        raise ValueError("ObjStm without stream data")
+    n, first = int(nm.group(1)), int(fm.group(1))
+    header = content[:first].split()
+    if len(header) < 2 * n:
+        raise ValueError("truncated ObjStm header")
+    pairs = [(int(header[2 * i]), int(header[2 * i + 1])) for i in range(n)]
+    for i, (num, off) in enumerate(pairs):
+        end = pairs[i + 1][1] if i + 1 < n else len(content) - first
+        if num not in objs:
+            objs[num] = content[first + off : first + end]
 
 
 def _pdf_objects(data: bytes) -> dict[int, bytes]:
+    """Object table: xref-resolved bodies first (classic tables, xref
+    streams, /Prev chains, ObjStm members), then the whole-file scan as
+    a tolerant fallback for anything the xref missed (or files with no
+    usable xref at all).  Precedence matters: an orphaned/superseded
+    object body elsewhere in the file must not shadow the live one the
+    xref points to."""
     if not data.startswith(b"%PDF"):
         raise ValueError("not a PDF")
-    return {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)}
+    objs: dict[int, bytes] = {}
+    objstms: list[bytes] = []
+    try:
+        entries = _pdf_xref_entries(data)
+    except ValueError:
+        entries = {}
+    for num, ent in entries.items():
+        if ent[0] == 1:
+            m = _OBJ_AT_RE.match(data, ent[1])
+            if m and int(m.group(1)) == num:
+                objs[num] = m.group(2)
+                if b"/ObjStm" in m.group(2):
+                    objstms.append(m.group(2))
+    for body in objstms:
+        _expand_objstm(body, objs)
+    for m in _OBJ_RE.finditer(data):  # tolerant fallback, never overrides
+        num = int(m.group(1))
+        if num not in objs:
+            objs[num] = m.group(2)
+            if b"/ObjStm" in m.group(2):
+                _expand_objstm(m.group(2), objs)
+    return objs
 
 
-def _content_stream(body: bytes) -> bytes | None:
-    # Prefer slicing by the dictionary's direct /Length value: a regex scan
-    # for "endstream" can truncate inside binary stream data (or eat a real
-    # trailing 0x0D byte via the optional \r).  Fall back to the regex only
-    # when /Length is absent or an indirect reference.
-    raw = None
-    lm = _LENGTH_RE.search(body)
+def _raw_stream_bytes(body: bytes, objs: dict[int, bytes] | None = None) -> bytes:
+    """Stream payload sliced by /Length (direct, or indirect resolved
+    through `objs`); endstream-regex fallback when /Length is absent."""
     km = _STREAM_KW_RE.search(body)
+    lm = _LENGTH_RE.search(body)
+    if lm is None and objs is not None:
+        rm = _LENGTH_REF_RE.search(body)
+        if rm:
+            target = objs.get(int(rm.group(1)), b"")
+            dm = re.search(rb"(\d+)", target)
+            if dm:
+                return body[km.end() : km.end() + int(dm.group(1))] if km else b""
     if lm and km:
-        start = km.end()
-        raw = body[start : start + int(lm.group(1))]
-    if raw is None:
-        m = _STREAM_RE.search(body)
-        if not m:
-            return None
-        raw = m.group(1)
+        return body[km.end() : km.end() + int(lm.group(1))]
+    m = _STREAM_RE.search(body)
+    if not m:
+        raise ValueError("object has no stream")
+    return m.group(1)
+
+
+def _content_stream(body: bytes, objs: dict[int, bytes] | None = None) -> bytes | None:
+    try:
+        raw = _raw_stream_bytes(body, objs)
+    except ValueError:
+        return None
     if b"/FlateDecode" in body:
         return zlib.decompress(raw)
     return raw
@@ -105,16 +309,22 @@ _TOKEN_RE = re.compile(
 
 
 def _extract_from_stream(content: bytes, page: int) -> list[tuple]:
-    """One content stream -> [(page, x, y, text)] in drawing order."""
+    """One content stream -> [(page, x, y, text)] in drawing order.
+
+    Text positioning follows the spec's line-matrix model (ISO 32000-1
+    9.4.2): Td/TD translate the LINE start (TD also sets leading = -ty),
+    Tm replaces it, `TL` sets leading, `T*` moves to the next line
+    (line start shifted down by the leading), `'` is T* + show."""
     text = content.decode("latin-1", "replace")
     spans: list[tuple] = []
     stack: list = []
-    x = y = 0.0
+    lx = ly = 0.0  # line start (text line matrix translation)
+    leading = 0.0
     in_text = False
     for m in _TOKEN_RE.finditer(text):
         tok = m.group(0)
         if tok == "BT":
-            in_text, x, y = True, 0.0, 0.0
+            in_text, lx, ly, leading = True, 0.0, 0.0, leading
             stack = []
         elif tok == "ET":
             in_text = False
@@ -130,22 +340,34 @@ def _extract_from_stream(content: bytes, page: int) -> list[tuple]:
         elif tok == "Tm":
             nums = [v for k, v in stack if k == "n"][-6:]
             if len(nums) == 6:
-                x, y = nums[4], nums[5]
+                lx, ly = nums[4], nums[5]
             stack = []
         elif tok in ("Td", "TD"):
             nums = [v for k, v in stack if k == "n"][-2:]
             if len(nums) == 2:
-                x, y = x + nums[0], y + nums[1]
+                lx, ly = lx + nums[0], ly + nums[1]
+                if tok == "TD":
+                    leading = -nums[1]
+            stack = []
+        elif tok == "TL":
+            nums = [v for k, v in stack if k == "n"]
+            if nums:
+                leading = nums[-1]
+            stack = []
+        elif tok == "T*":
+            ly -= leading
             stack = []
         elif tok in ("Tj", "'"):
+            if tok == "'":
+                ly -= leading
             strs = [v for k, v in stack if k == "s"]
             if strs:
-                spans.append((page, round(x, 1), round(y, 1), strs[-1]))
+                spans.append((page, round(lx, 1), round(ly, 1), strs[-1]))
             stack = []
         elif tok == "TJ":
             strs = [v for k, v in stack if k == "s"]
             if strs:
-                spans.append((page, round(x, 1), round(y, 1), "".join(strs)))
+                spans.append((page, round(lx, 1), round(ly, 1), "".join(strs)))
             stack = []
         else:  # Tf, Tc, Tw, colors, ... consume operands
             stack = []
@@ -160,7 +382,7 @@ def pdf_text_spans(data: bytes) -> list[tuple]:
     page tree fall back to scanning every stream object in object order
     (tolerant mode for linearized/cut files)."""
     objs = _pdf_objects(data)
-    page_contents: list[int] = []
+    page_contents: list[list[int]] = []
     kids_order: list[int] = []
     for _num, body in sorted(objs.items()):
         if b"/Type /Pages" in body or b"/Type/Pages" in body:
@@ -169,18 +391,36 @@ def pdf_text_spans(data: bytes) -> list[tuple]:
                 kids_order = [int(r.group(1)) for r in _REF_RE.finditer(m.group(1))]
     for kid in kids_order:
         body = objs.get(kid, b"")
+        am = _CONTENTS_ARR_RE.search(body)
+        if am:  # /Contents [c1 0 R c2 0 R ...]: array order
+            refs = [int(r.group(1)) for r in _REF_RE.finditer(am.group(1))]
+            if refs:
+                page_contents.append(refs)
+            continue
         m = _CONTENTS_RE.search(body)
         if m:
-            page_contents.append(int(m.group(1)))
+            page_contents.append([int(m.group(1))])
     spans: list[tuple] = []
     if page_contents:
-        for page, cnum in enumerate(page_contents):
-            content = _content_stream(objs.get(cnum, b""))
-            if content is not None:
-                spans.extend(_extract_from_stream(content, page))
+        for page, cnums in enumerate(page_contents):
+            # multiple /Contents streams concatenate with a newline
+            # (ISO 32000-1 7.8.2) and parse as ONE stream: text state
+            # (line matrix, leading) flows across the boundary
+            parts = [
+                c
+                for c in (_content_stream(objs.get(n, b""), objs) for n in cnums)
+                if c is not None
+            ]
+            if parts:
+                spans.extend(_extract_from_stream(b"\n".join(parts), page))
     else:  # tolerant fallback: every stream in object order on page 0
         for _num, body in sorted(objs.items()):
-            content = _content_stream(body)
+            if b"/ObjStm" in body or b"/XRef" in body:
+                continue  # container/xref streams are not page content
+            try:
+                content = _content_stream(body, objs)
+            except Exception:
+                continue
             if content is not None:
                 spans.extend(_extract_from_stream(content, 0))
     if not spans:

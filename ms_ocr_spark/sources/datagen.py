@@ -1319,6 +1319,163 @@ PDF_GOLDEN_SCHEMA = pa.schema(
 _PDF_TAILS = ("", "", " (v2)", " [a]", " 50%", " \\x", ")(")
 
 
+def pdf_modern_bytes(
+    boxes: list[dict], column: list[dict], page_w: int = 612, page_h: int = 792
+) -> bytes:
+    """Modern-layout PDF fixture (round 6 — exercises the parser scope of
+    VERDICT r5 item 5): catalog/pages/page/font packed in a compressed
+    /ObjStm, TWO /Contents streams per page (stream 1 = Tm/Tj dialect
+    with an INDIRECT /Length; stream 2 = a text column via TL + T* + '),
+    a cross-reference STREAM (/W [1 2 1], PNG /Predictor 12 Up, /Index)
+    with type-2 entries for the ObjStm members, and an incremental
+    update appending a DECOY superseded `5 0 obj` body whose text is
+    wrong — only a parser that resolves objects through the xref chain
+    (not last-scan-wins) extracts the correct spans.
+
+    `boxes` draw via stream 1 at absolute positions (sink dialect);
+    `column` rows draw via stream 2 top-down at a fixed x with constant
+    leading (the TL/T*/' dialect)."""
+    import zlib as _z
+
+    def _esc(t: str) -> str:
+        return t.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+    # ---- content stream 1: absolute Tm positions (sink dialect)
+    parts = ["BT /F1 10 Tf"]
+    for b in sorted(boxes, key=lambda b: (b["y1"], b["x1"])):
+        x, y = float(b["x1"]), page_h - float(b["y1"]) - 10
+        parts.append(f"1 0 0 1 {x:.1f} {y:.1f} Tm ({_esc(str(b['text']))}) Tj")
+    parts.append("ET")
+    s1 = _z.compress("\n".join(parts).encode("latin-1", "replace"))
+    # ---- content stream 2: TL/T*/' column
+    cx, cy0, lead = 72.0, 700.0, 18.0
+    parts2 = ["BT /F1 10 Tf", f"{lead:.1f} TL", f"1 0 0 1 {cx:.1f} {cy0:.1f} Tm"]
+    for i, c in enumerate(column):
+        t = _esc(str(c["text"]))
+        parts2.append(f"({t}) Tj" if i == 0 else f"({t}) '")
+    parts2.append("ET")
+    s2 = _z.compress("\n".join(parts2).encode("latin-1", "replace"))
+
+    # ---- ObjStm containing objects 1-4 (catalog, pages, page, font)
+    members = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (
+            3,
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {page_w} {page_h}] "
+                "/Resources << /Font << /F1 4 0 R >> >> "
+                "/Contents [5 0 R 6 0 R] >>"
+            ).encode(),
+        ),
+        (4, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+    ]
+    header, payload, off = [], b"", 0
+    for num, body in members:
+        header.append(f"{num} {off}")
+        payload += body + b"\n"
+        off = len(payload)
+    hdr = (" ".join(header) + "\n").encode()
+    objstm_content = _z.compress(hdr + payload)
+    objstm = (
+        f"<< /Type /ObjStm /N {len(members)} /First {len(hdr)} "
+        f"/Length {len(objstm_content)} /Filter /FlateDecode >>\nstream\n"
+    ).encode() + objstm_content + b"\nendstream"
+
+    out = bytearray(b"%PDF-1.5\n")
+    offsets: dict[int, int] = {}
+
+    def _emit(num: int, body: bytes) -> None:
+        offsets[num] = len(out)
+        out.extend(f"{num} 0 obj\n".encode() + body + b"\nendobj\n")
+
+    # stream 1 carries an INDIRECT /Length (8 0 R)
+    _emit(5, b"<< /Length 8 0 R /Filter /FlateDecode >>\nstream\n" + s1 + b"\nendstream")
+    _emit(6, (f"<< /Length {len(s2)} /Filter /FlateDecode >>\nstream\n").encode()
+            + s2 + b"\nendstream")
+    _emit(7, objstm)
+    _emit(8, str(len(s1)).encode())
+
+    # ---- xref STREAM (obj 9): W [1 2 1], Predictor 12 (Up), objects 0-9
+    def _xref_rows(entries: list[tuple[int, int, int]]) -> bytes:
+        rows = b"".join(
+            bytes([t]) + v.to_bytes(2, "big") + bytes([x]) for t, v, x in entries
+        )
+        # PNG Up filter, columns = 4
+        cols, row_w = 4, 4
+        filtered, prev = bytearray(), bytes(cols)
+        for r in range(0, len(rows), row_w):
+            row = rows[r : r + row_w]
+            filtered.append(2)
+            filtered.extend((row[i] - prev[i]) & 0xFF for i in range(cols))
+            prev = row
+        return _z.compress(bytes(filtered))
+
+    xref_at = len(out)
+    entries = [
+        (0, 0, 255),        # 0: free
+        (2, 7, 0), (2, 7, 1), (2, 7, 2), (2, 7, 3),  # 1-4 in ObjStm 7
+        (1, offsets[5], 0), (1, offsets[6], 0),
+        (1, offsets[7], 0), (1, offsets[8], 0),
+        (1, xref_at, 0),    # 9: this xref stream
+    ]
+    xdata = _xref_rows(entries)
+    _emit(9, (
+        "<< /Type /XRef /Size 10 /W [1 2 1] /Index [0 10] "
+        "/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 4 >> "
+        f"/Root 1 0 R /Length {len(xdata)} >>\nstream\n"
+    ).encode() + xdata + b"\nendstream")
+    out.extend(f"startxref\n{xref_at}\n%%EOF\n".encode())
+
+    # ---- incremental update: decoy superseded object 5 (wrong text) +
+    # a second xref stream chaining back via /Prev.  The decoy sits
+    # LATER in the file, so a last-scan-wins parser would read it; the
+    # xref chain keeps pointing at the live body.
+    decoy = _z.compress(b"BT /F1 10 Tf 1 0 0 1 9.0 9.0 Tm (DECOY SUPERSEDED) Tj ET")
+    decoy_at = len(out)
+    out.extend(
+        f"5 0 obj\n<< /Length {len(decoy)} /Filter /FlateDecode >>\nstream\n".encode()
+        + decoy + b"\nendstream\nendobj\n"
+    )
+    xref2_at = len(out)
+    entries2 = [(1, offsets[5], 0), (1, xref2_at, 0)]
+    xdata2 = _xref_rows(entries2)
+    out.extend(f"10 0 obj\n".encode() + (
+        "<< /Type /XRef /Size 11 /W [1 2 1] /Index [5 1 10 1] "
+        "/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 4 >> "
+        f"/Root 1 0 R /Prev {xref_at} /Length {len(xdata2)} >>\nstream\n"
+    ).encode() + xdata2 + b"\nendstream\nendobj\n")
+    out.extend(f"startxref\n{xref2_at}\n%%EOF\n".encode())
+    return bytes(out)
+
+
+def pdf_modern_golden(
+    boxes: list[dict], column: list[dict], page_h: int = 792
+) -> list[dict]:
+    """Golden spans for `pdf_modern_bytes`, in drawing order: stream-1
+    boxes sorted by (y1, x1) with the PDF y-flip, then the stream-2
+    column top-down at (72, 700 - i*18)."""
+    rows = [
+        {
+            "page": 0,
+            "x": round(float(b["x1"]), 1),
+            "y": round(float(page_h - b["y1"] - 10), 1),
+            "text": str(b["text"]),
+        }
+        for b in sorted(boxes, key=lambda b: (b["y1"], b["x1"]))
+    ]
+    rows += [
+        {
+            "page": 0,
+            "x": 72.0,
+            "y": round(700.0 - i * 18.0, 1),
+            "text": str(c["text"]),
+        }
+        for i, c in enumerate(column)
+    ]
+    return rows
+
+
 def write_pdf_corpus(out_dir: str, n_docs: int, seed: int = 42) -> dict[str, str]:
     import json
 
@@ -1329,7 +1486,11 @@ def write_pdf_corpus(out_dir: str, n_docs: int, seed: int = 42) -> dict[str, str
         name: os.path.join(out_dir, f"{name}.parquet")
         for name in ("pdf_media", "golden_pdf_spans")
     }
-    params = {"n_docs": n_docs, "seed": seed, "fmt": 1}
+    # fmt 2 (round 6): ~40% of good docs use the MODERN layout
+    # (pdf_modern_bytes: ObjStm + xref stream w/ Predictor-12 + two
+    # /Contents streams + TL/T*/' + indirect /Length + incremental-
+    # update decoy) — the parser scope of VERDICT r5 item 5
+    params = {"n_docs": n_docs, "seed": seed, "fmt": 2}
     params_path = os.path.join(out_dir, "params.json")
     if all(os.path.exists(p) for p in paths.values()) and os.path.exists(params_path):
         with open(params_path) as f:
@@ -1357,6 +1518,25 @@ def write_pdf_corpus(out_dir: str, n_docs: int, seed: int = 42) -> dict[str, str
             boxes.append(
                 {"x1": x1, "y1": y1, "x2": x1 + 60, "y2": y1 + 14, "text": word + tail}
             )
+        if _h(seed, "pdfmodern", di) % 5 < 2:
+            n_col = 2 + _h(seed, "pdfcol", di) % 3
+            column = [
+                {
+                    "text": _OCR_WORDS[
+                        _h(seed, "pdfcolw", di, ci) % len(_OCR_WORDS)
+                    ]
+                    + _PDF_TAILS[
+                        (_h(seed, "pdfcolw", di, ci) >> 16) % len(_PDF_TAILS)
+                    ]
+                }
+                for ci in range(n_col)
+            ]
+            media_rows.append(
+                {"doc_id": doc_id, "artifact": pdf_modern_bytes(boxes, column)}
+            )
+            for r in pdf_modern_golden(boxes, column, page_h):
+                golden_rows.append({"doc_id": doc_id, **r})
+            continue
         media_rows.append(
             {"doc_id": doc_id, "artifact": pdf_from_boxes(boxes)}
         )

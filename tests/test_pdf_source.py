@@ -88,3 +88,86 @@ def test_pdf_multipage_kids_order():
         (0, 10.0, 700.0, "page-zero"),
         (1, 20.0, 650.0, "page-one"),
     ]
+
+
+# --------------------------------------------------------------- modern layout
+def test_pdf_modern_layout_round_trip():
+    """ObjStm + xref stream (Predictor 12) + two /Contents streams +
+    TL/T*/' + indirect /Length all parse; spans match the fixture's
+    golden in drawing order."""
+    from ms_ocr_spark.sources.datagen import pdf_modern_bytes, pdf_modern_golden
+
+    boxes = [
+        {"x1": 40, "y1": 60, "text": "ALPHA (v2)"},
+        {"x1": 200, "y1": 60, "text": "BETA \\x"},
+        {"x1": 40, "y1": 120, "text": "GAMMA)("},
+    ]
+    column = [{"text": "LINE ONE"}, {"text": "LINE TWO"}, {"text": "LINE 3"}]
+    pdf = pdf_modern_bytes(boxes, column)
+    want = [(0, r["x"], r["y"], r["text"]) for r in pdf_modern_golden(boxes, column)]
+    assert pdf_text_spans(pdf) == want
+
+
+def test_pdf_xref_resolves_superseded_decoy():
+    """The modern fixture appends a decoy `5 0 obj` (wrong text) AFTER
+    the live one, referenced by no xref section — a last-scan-wins
+    parser would extract 'DECOY SUPERSEDED'; the xref chain must not."""
+    from ms_ocr_spark.sources.datagen import pdf_modern_bytes
+
+    pdf = pdf_modern_bytes([{"x1": 10, "y1": 20, "text": "REAL"}], [{"text": "C"}])
+    assert pdf.count(b"5 0 obj") == 2  # live + decoy are both present
+    texts = [t for _, _, _, t in pdf_text_spans(pdf)]
+    assert "REAL" in texts and all("DECOY" not in t for t in texts)
+
+
+def test_pdf_xref_stream_entries():
+    """Type-2 (ObjStm member) and type-1 entries decode through /W field
+    widths and the PNG Up predictor; the /Prev chain joins both update
+    sections with newest-wins precedence."""
+    from ms_ocr_spark.extraction.pdf import _pdf_xref_entries
+    from ms_ocr_spark.sources.datagen import pdf_modern_bytes
+
+    pdf = pdf_modern_bytes([{"x1": 10, "y1": 20, "text": "T"}], [{"text": "C"}])
+    ent = _pdf_xref_entries(pdf)
+    assert ent[1][0] == 2 and ent[1][1] == 7  # catalog lives in ObjStm 7
+    assert ent[5][0] == 1  # content stream 1 is a classic offset entry
+    live_off = ent[5][1]
+    assert pdf[live_off : live_off + 7] == b"5 0 obj"
+
+
+def test_pdf_classic_xref_table_parses():
+    """The sink's classic `xref` table (round-5 dialect) resolves through
+    the same xref-first path — the scan fallback isn't what's parsing
+    these anymore."""
+    from ms_ocr_spark.extraction.pdf import _pdf_xref_entries
+
+    pdf = pdf_from_boxes([{"x1": 10, "y1": 20, "x2": 70, "y2": 34, "text": "A"}])
+    ent = _pdf_xref_entries(pdf)
+    assert set(ent) == {1, 2, 3, 4, 5}
+    assert all(t == 1 for t, _, _ in ent.values())
+
+
+def test_pdf_corpus_modern_class_golden():
+    """Every artifact in the (fmt 2) pdf corpus — classic, modern, and
+    broken — parses to exactly its golden spans / quarantines."""
+    import tempfile
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    from ms_ocr_spark.sources.datagen import write_pdf_corpus
+
+    paths = write_pdf_corpus(tempfile.mkdtemp(), 30, seed=57)
+    gold = defaultdict(list)
+    for r in pq.read_table(paths["golden_pdf_spans"]).to_pylist():
+        gold[r["doc_id"]].append((r["page"], r["x"], r["y"], r["text"]))
+    n_modern = 0
+    for row in pq.read_table(paths["pdf_media"]).to_pylist():
+        buf = bytes(row["artifact"])
+        if not buf.startswith(b"%PDF"):
+            with pytest.raises(ValueError):
+                pdf_text_spans(buf)
+            continue
+        n_modern += b"/ObjStm" in buf
+        assert pdf_text_spans(buf) == gold[row["doc_id"]], row["doc_id"]
+    assert n_modern >= 3
