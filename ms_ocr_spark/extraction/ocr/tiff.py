@@ -15,11 +15,11 @@ Scope (documented, honest):
     Compression 1/5/32773, BitsPerSample 8 or 16 (16-bit collapses to
     the high byte — the 8-bit pipeline's view of a 16-bit scan),
     Photometric 0 (WhiteIsZero -> inverted on load) or 1, any strip
-    layout.
-Anything else (tiled, multi-sample, 1/4-bit, JPEG-in-TIFF) raises
-ValueError — the pipeline quarantines such rows, the same
-admission-reject behavior the reference applies to bad uploads
-(`src/controller/Upload.ts:22-32`).
+    layout, and — round 6 — TILED layout (tags 322-325, edge tiles
+    padded per TIFF 6.0 §15).
+Anything else (multi-sample, 1/4-bit, JPEG-in-TIFF) raises ValueError —
+the pipeline quarantines such rows, the same admission-reject behavior
+the reference applies to bad uploads (`src/controller/Upload.ts:22-32`).
 """
 
 from __future__ import annotations
@@ -43,6 +43,11 @@ _T_YRES = 283
 _T_RES_UNIT = 296
 _T_ORIENTATION = 274
 _T_ICC = 34675  # InterColorProfile (TIFF/EP), raw ICC profile bytes
+# tiled layout (TIFF 6.0 §15, round 6 — VERDICT r5 item 7)
+_T_TILE_WIDTH = 322
+_T_TILE_LENGTH = 323
+_T_TILE_OFFSETS = 324
+_T_TILE_COUNTS = 325
 
 # BYTE ASCII SHORT LONG RATIONAL UNDEFINED
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1}
@@ -193,14 +198,20 @@ def encode_gray_tiff(
     bits: int = 8,
     orientation: int | None = None,
     icc_name: str | None = None,
+    tile: tuple[int, int] | None = None,
 ) -> bytes:
-    """Gray ndarray -> little-endian multi-strip TIFF.
+    """Gray ndarray -> little-endian TIFF, multi-strip or TILED.
 
     `compression`: 1 (none), 5 (LZW) or 32773 (PackBits).
     `bits`: 8, or 16 (samples widened v -> v*257, the exact 8->16 scale).
     `orientation`: tag 274; `icc_name`: tag 34675 with a minimal ICC
     profile carrying the name in its 'desc' tag (round-5 S5 side-value
     parity — the reference keeps ICC/EXIF for every decode).
+    `tile`: (tile_w, tile_h), both multiples of 16 per TIFF 6.0 §15 —
+    emits TileWidth/TileLength/TileOffsets/TileByteCounts (tags
+    322/323/324/325) instead of strips, edge tiles padded to full tile
+    size with the corpus background (the scanner-TIFF layout of VERDICT
+    r5 item 7).
     """
     if img.dtype != np.uint8 or img.ndim != 2:
         raise ValueError("encode_gray_tiff expects a 2-D uint8 array")
@@ -214,10 +225,26 @@ def encode_gray_tiff(
         sample_img = (img.astype("<u2") * 257).astype("<u2")
     else:
         sample_img = img
-    strips = [
-        sample_img[y : y + rows_per_strip].tobytes()
-        for y in range(0, h, rows_per_strip)
-    ]
+    if tile is not None:
+        tw, tl = tile
+        if tw % 16 or tl % 16 or tw <= 0 or tl <= 0:
+            raise ValueError("tile dims must be positive multiples of 16")
+        pad_h = (h + tl - 1) // tl * tl
+        pad_w = (w + tw - 1) // tw * tw
+        padded = np.full((pad_h, pad_w), 255, dtype=sample_img.dtype)
+        if bits == 16:
+            padded *= 257  # background pads widen like samples do
+        padded[:h, :w] = sample_img
+        strips = [
+            padded[ty : ty + tl, tx : tx + tw].tobytes()
+            for ty in range(0, pad_h, tl)
+            for tx in range(0, pad_w, tw)
+        ]
+    else:
+        strips = [
+            sample_img[y : y + rows_per_strip].tobytes()
+            for y in range(0, h, rows_per_strip)
+        ]
     if compression == 5:
         strips = [_lzw_compress(s) for s in strips]
     elif compression == 32773:
@@ -239,7 +266,7 @@ def encode_gray_tiff(
     ifd_off = off
 
     n_entries = (
-        9
+        (10 if tile is not None else 9)
         + (3 if dpi else 0)
         + (1 if orientation else 0)
         + (1 if icc_name else 0)
@@ -271,10 +298,20 @@ def encode_gray_tiff(
     _entry(_T_BITS, 3, 1, bits)
     _entry(_T_COMPRESSION, 3, 1, compression)
     _entry(_T_PHOTOMETRIC, 3, 1, 1)  # BlackIsZero
-    _entry(_T_STRIP_OFFSETS, 4, len(strips), _arr_value(strip_offsets, 4))
     _entry(_T_SAMPLES, 3, 1, 1)
-    _entry(_T_ROWS_PER_STRIP, 4, 1, rows_per_strip)
-    _entry(_T_STRIP_COUNTS, 4, len(strips), _arr_value([len(s) for s in strips], 4))
+    if tile is not None:
+        _entry(_T_TILE_WIDTH, 4, 1, tile[0])
+        _entry(_T_TILE_LENGTH, 4, 1, tile[1])
+        _entry(_T_TILE_OFFSETS, 4, len(strips), _arr_value(strip_offsets, 4))
+        _entry(
+            _T_TILE_COUNTS, 4, len(strips), _arr_value([len(s) for s in strips], 4)
+        )
+    else:
+        _entry(_T_STRIP_OFFSETS, 4, len(strips), _arr_value(strip_offsets, 4))
+        _entry(_T_ROWS_PER_STRIP, 4, 1, rows_per_strip)
+        _entry(
+            _T_STRIP_COUNTS, 4, len(strips), _arr_value([len(s) for s in strips], 4)
+        )
     if dpi:
         _entry(_T_XRES, 5, 1, _rational(dpi))
         _entry(_T_YRES, 5, 1, _rational(dpi))
@@ -366,9 +403,13 @@ def decode_gray_tiff(data: bytes) -> np.ndarray:
         tags, _ = _parse(data)
     except (struct.error, IndexError) as exc:
         raise ValueError(f"malformed TIFF: {exc}") from exc
+    tiled = _T_TILE_WIDTH in tags
     try:
         w, h = tags[_T_WIDTH][0], tags[_T_HEIGHT][0]
-        offsets, counts = tags[_T_STRIP_OFFSETS], tags[_T_STRIP_COUNTS]
+        if tiled:
+            offsets, counts = tags[_T_TILE_OFFSETS], tags[_T_TILE_COUNTS]
+        else:
+            offsets, counts = tags[_T_STRIP_OFFSETS], tags[_T_STRIP_COUNTS]
     except KeyError as exc:
         raise ValueError(f"TIFF missing baseline tag {exc}") from exc
     bits = tags.get(_T_BITS, [1])[0]
@@ -381,41 +422,65 @@ def decode_gray_tiff(data: bytes) -> np.ndarray:
         raise ValueError(f"unsupported TIFF compression {compression}")
     if photometric not in (0, 1):
         raise ValueError(f"unsupported TIFF photometric {photometric}")
-    rows_per_strip = tags.get(_T_ROWS_PER_STRIP, [h])[0]
     bpp = bits // 8
-    raw = bytearray()
-    for si, (so, sc) in enumerate(zip(offsets, counts)):
-        strip = bytes(data[so : so + sc])
-        n_rows = min(rows_per_strip, h - si * rows_per_strip)
-        n_bytes = n_rows * w * bpp
+
+    def _decompress(chunk: bytes, n_bytes: int) -> bytes:
         if compression == 32773:
-            strip = _unpackbits(strip, n_bytes)
-        elif compression == 5:
-            strip = _lzw_decompress(strip, n_bytes)
-        elif len(strip) < n_bytes:
+            return _unpackbits(chunk, n_bytes)
+        if compression == 5:
+            return _lzw_decompress(chunk, n_bytes)
+        if len(chunk) < n_bytes:
             raise ValueError("truncated TIFF strip")
-        raw += strip[:n_bytes]
-    if bits == 16:
-        # byte order follows the file header; collapse to the high byte
-        # (the exact inverse of the v*257 widening this codec writes)
-        e = "<u2" if data[:2] == b"II" else ">u2"
-        wide = np.frombuffer(bytes(raw), dtype=e).reshape(h, w)
-        img = (wide >> 8).astype(np.uint8)
+        return chunk[:n_bytes]
+
+    e2 = "<u2" if data[:2] == b"II" else ">u2"
+
+    def _pixels(chunk: bytes, rows: int, cols: int) -> np.ndarray:
+        if bits == 16:
+            # byte order follows the file header; collapse to the high
+            # byte (the exact inverse of the v*257 widening on encode)
+            wide = np.frombuffer(chunk, dtype=e2).reshape(rows, cols)
+            return (wide >> 8).astype(np.uint8)
+        return np.frombuffer(chunk, dtype=np.uint8).reshape(rows, cols)
+
+    if tiled:
+        # TIFF 6.0 §15: tiles are FULL tile_w x tile_l (edges padded by
+        # the writer), laid out row-major; placement crops the pads
+        tw = tags[_T_TILE_WIDTH][0]
+        tl = tags.get(_T_TILE_LENGTH, [tw])[0]
+        if tw <= 0 or tl <= 0:
+            raise ValueError("bad TIFF tile geometry")
+        across = (w + tw - 1) // tw
+        down = (h + tl - 1) // tl
+        if len(offsets) < across * down:
+            raise ValueError("TIFF tile count mismatch")
+        img = np.empty((h, w), dtype=np.uint8)
+        for ti, (so, sc) in enumerate(zip(offsets, counts)):
+            if ti >= across * down:
+                break
+            chunk = _decompress(bytes(data[so : so + sc]), tl * tw * bpp)
+            tile_px = _pixels(chunk, tl, tw)
+            ty, tx = (ti // across) * tl, (ti % across) * tw
+            img[ty : min(ty + tl, h), tx : min(tx + tw, w)] = tile_px[
+                : min(tl, h - ty), : min(tw, w - tx)
+            ]
     else:
-        img = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w)
+        rows_per_strip = tags.get(_T_ROWS_PER_STRIP, [h])[0]
+        raw = bytearray()
+        for si, (so, sc) in enumerate(zip(offsets, counts)):
+            n_rows = min(rows_per_strip, h - si * rows_per_strip)
+            raw += _decompress(bytes(data[so : so + sc]), n_rows * w * bpp)
+        img = _pixels(bytes(raw), h, w)
     if photometric == 0:  # WhiteIsZero
         img = 255 - img
     return img
 
 
-_T_TILE_WIDTH = 322
-
-
 def encode_tiled_tiff_stub(h: int = 32, w: int = 64) -> bytes:
     """Minimal syntactically-valid TILED-TIFF header (no tile data).
-    Telemetry fixture only: sniffs as tiff, trips `tiff_scope_reason`
-    ('tiled'), and (by design) fails `decode_gray_tiff` — the shape a
-    real tiled scanner TIFF takes in this engine."""
+    Since round 6 the tiled LAYOUT is in scope, so this stream now fails
+    on its missing tile offsets (decode ValueError, class `invalid`) —
+    the out-of-scope telemetry fixture is `encode_jpeg_in_tiff_stub`."""
     tags = [
         (_T_WIDTH, 4, 1, w),
         (_T_HEIGHT, 4, 1, h),
@@ -423,6 +488,25 @@ def encode_tiled_tiff_stub(h: int = 32, w: int = 64) -> bytes:
         (_T_COMPRESSION, 3, 1, 1),
         (_T_PHOTOMETRIC, 3, 1, 1),
         (_T_TILE_WIDTH, 4, 1, 16),
+    ]
+    ifd = [struct.pack("<H", len(tags))]
+    for tag, typ, count, value in sorted(tags):
+        ifd.append(struct.pack("<HHII", tag, typ, count, value))
+    ifd.append(struct.pack("<I", 0))
+    return struct.pack("<2sHI", b"II", 42, 8) + b"".join(ifd)
+
+
+def encode_jpeg_in_tiff_stub(h: int = 32, w: int = 64) -> bytes:
+    """Minimal syntactically-valid JPEG-in-TIFF header (Compression 7,
+    no image data) — the frame class that genuinely remains outside this
+    codec's scope now that tiled layouts decode (round 6); quarantine
+    telemetry fixture for `unsupported_tiff_layout`."""
+    tags = [
+        (_T_WIDTH, 4, 1, w),
+        (_T_HEIGHT, 4, 1, h),
+        (_T_BITS, 3, 1, 8),
+        (_T_COMPRESSION, 3, 1, 7),  # JPEG (TIFF/EP)
+        (_T_PHOTOMETRIC, 3, 1, 1),
     ]
     ifd = [struct.pack("<H", len(tags))]
     for tag, typ, count, value in sorted(tags):
@@ -441,8 +525,6 @@ def tiff_scope_reason(data: bytes) -> str | None:
         tags, _ = _parse(data)
     except (ValueError, struct.error, IndexError):
         return None
-    if _T_TILE_WIDTH in tags:
-        return "tiled"
     bits = tags.get(_T_BITS, [1])[0]
     samples = tags.get(_T_SAMPLES, [1])[0]
     compression = tags.get(_T_COMPRESSION, [1])[0]

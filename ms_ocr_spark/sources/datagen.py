@@ -555,7 +555,7 @@ def _gen_chunk(args: tuple) -> tuple[list, list, list, list, list]:
                         encode_progressive_stub,
                     )
                     from ms_ocr_spark.extraction.ocr.tiff import (
-                        encode_tiled_tiff_stub,
+                        encode_jpeg_in_tiff_stub,
                     )
 
                     if is_invalid:
@@ -565,7 +565,10 @@ def _gen_chunk(args: tuple) -> tuple[list, list, list, list, list]:
                         )
                         fmt, reason = "unknown", "invalid"
                     elif is_unsup_tiff:
-                        payload = encode_tiled_tiff_stub(
+                        # JPEG-in-TIFF (Compression 7) header: the class
+                        # that genuinely remains outside scope now that
+                        # tiled layouts decode (round 6)
+                        payload = encode_jpeg_in_tiff_stub(
                             int(img.shape[0]), int(img.shape[1])
                         )
                         fmt, reason = "tiff", "unsupported_tiff_layout"
@@ -609,14 +612,22 @@ def _gen_chunk(args: tuple) -> tuple[list, list, list, list, list]:
                         }
                     )
                 elif is_tiff:
-                    # lossless multi-strip TIFF (reference accepts tif/tiff
-                    # last in its allow-list, env/local.env:25); variants
-                    # rotate through the decode scope — uncompressed, LZW,
-                    # PackBits, 16-bit (all lossless -> same golden)
+                    # lossless TIFF (reference accepts tif/tiff last in
+                    # its allow-list, env/local.env:25); variants rotate
+                    # through the decode scope — uncompressed, LZW,
+                    # PackBits, 16-bit, and (round 6) TILED layouts
+                    # (all lossless -> same golden)
                     hv = _h(seed, "tiffvar", i, off)
-                    comp, tbits = ((1, 8), (5, 8), (32773, 8), (1, 16), (5, 16))[
-                        hv % 5
-                    ]
+                    comp, tbits, ttile = (
+                        (1, 8, None),
+                        (5, 8, None),
+                        (32773, 8, None),
+                        (1, 16, None),
+                        (5, 16, None),
+                        (1, 8, (16, 16)),
+                        (5, 8, (32, 16)),
+                        (32773, 16, (16, 32)),
+                    )[hv % 8]
                     payload = encode_gray_tiff(
                         img,
                         dpi=side["dpi"],
@@ -624,6 +635,7 @@ def _gen_chunk(args: tuple) -> tuple[list, list, list, list, list]:
                         bits=tbits,
                         orientation=side["orientation"],
                         icc_name=side["icc"][0] if side["icc"] else None,
+                        tile=ttile,
                     )
                     meta_rows.append(
                         {
@@ -895,8 +907,10 @@ def write_corpus(out_dir: str, n_docs: int, seed: int = 42, **kw) -> dict[str, s
     # fmt 12: ja charset expands to kyoiku grade-1 kanji (79 of 80;
     #         ~61% of uniform ja text is kanji) — ja tiers regenerate;
     #         vertical tiers sample KANA_VERT_ALPHABET (no bar glyphs)
+    # fmt 13: tiled TIFFs decode — tiff tier rotates 3 tiled variants,
+    #         unsupported_tiff fixture becomes JPEG-in-TIFF (comp 7)
     params = {
-        "fmt": 12,
+        "fmt": 13,
         "n_docs": n_docs,
         "seed": seed,
         **{k: kw[k] for k in sorted(kw) if k != "processes"},

@@ -164,3 +164,78 @@ def test_tiff_side_values_round_trip():
         "icc_name": None,
         "orientation": None,
     }
+
+
+# ------------------------------------------------------------------- tiled
+def test_tiled_round_trip_all_variants():
+    """Tiled layout (tags 322-325): exact roundtrip across compressions,
+    bit depths, tile geometries, and non-tile-aligned image dims (edge
+    tiles padded per TIFF 6.0 §15, pads cropped on decode)."""
+    import numpy as np
+
+    from ms_ocr_spark.extraction.ocr.tiff import (
+        decode_gray_tiff,
+        encode_gray_tiff,
+        tiff_scope_reason,
+    )
+
+    rng = np.random.default_rng(4)
+    for shape in [(32, 64), (33, 41), (16, 16), (100, 37)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        for comp in (1, 5, 32773):
+            for bits in (8, 16):
+                for tile in ((16, 16), (32, 16), (48, 32)):
+                    b = encode_gray_tiff(img, compression=comp, bits=bits, tile=tile)
+                    assert tiff_scope_reason(b) is None
+                    assert np.array_equal(decode_gray_tiff(b), img), (
+                        shape,
+                        comp,
+                        bits,
+                        tile,
+                    )
+
+
+def test_tiled_side_values_and_scope():
+    import numpy as np
+    import pytest as _pytest
+
+    from ms_ocr_spark.extraction.ocr.tiff import (
+        decode_gray_tiff,
+        encode_gray_tiff,
+        encode_jpeg_in_tiff_stub,
+        encode_tiled_tiff_stub,
+        tiff_scope_reason,
+        tiff_side_values,
+    )
+
+    img = np.random.default_rng(9).integers(0, 256, (40, 50), dtype=np.uint8)
+    b = encode_gray_tiff(img, tile=(16, 16), dpi=300.0, icc_name="sRGB", orientation=6)
+    assert tiff_side_values(b) == {"dpi": 300.0, "icc_name": "sRGB", "orientation": 6}
+    # round 6: tiled is IN scope — the layout-quarantine fixture is
+    # JPEG-in-TIFF (Compression 7); the header-only tiled stub now fails
+    # at decode (missing tile offsets), not at the scope probe
+    assert tiff_scope_reason(encode_jpeg_in_tiff_stub()) == "compression_7"
+    assert tiff_scope_reason(encode_tiled_tiff_stub()) is None
+    with _pytest.raises(ValueError):
+        decode_gray_tiff(encode_tiled_tiff_stub())
+    # tile dims must be multiples of 16
+    with _pytest.raises(ValueError):
+        encode_gray_tiff(img, tile=(20, 16))
+
+
+def test_tiff_tier_includes_tiled_and_decodes_exactly():
+    from ms_ocr_spark.extraction.ocr import decode_media
+    from ms_ocr_spark.extraction.ocr.kernel import decode_image
+    from ms_ocr_spark.sources.datagen import gen_corpus
+
+    from ms_ocr_spark.extraction.ocr.tiff import _T_TILE_WIDTH, _parse
+
+    _, media, _, meta, _ = gen_corpus(20, seed=59, tiff_pct=0.7, processes=1)
+    n_tiled = 0
+    for row in media.to_pylist():
+        buf = bytes(row["payload"])
+        if buf[:2] in (b"II", b"MM"):
+            tags, _e = _parse(buf)
+            n_tiled += _T_TILE_WIDTH in tags
+        assert decode_image(decode_media(buf)) == row["truth_text"]
+    assert n_tiled >= 2
