@@ -27,13 +27,37 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass
+# (PNG spec 4.5.2 — round 6, VERDICT r5 item 8)
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _adam7_dims(w: int, h: int) -> list[tuple[int, int]]:
+    """(pass_w, pass_h) for each of the 7 passes; empty passes are
+    (0, _) or (_, 0) and contribute no scanlines."""
+    return [
+        ((w - x0 + dx - 1) // dx, (h - y0 + dy - 1) // dy)
+        for x0, y0, dx, dy in _ADAM7
+    ]
+
+
 def encode_gray(
     img: np.ndarray,
     dpi: float | None = None,
     icc: tuple[str, bytes] | None = None,
     exif_orientation: int | None = None,
+    interlace: bool = False,
 ) -> bytes:
-    """uint8 HxW array -> PNG bytes (color type 0, bit depth 8).
+    """uint8 HxW array -> PNG bytes (color type 0, bit depth 8;
+    `interlace=True` writes the seven Adam7 sub-images, round 6).
 
     Optional ancillary side-values mirror what the reference keeps at
     decode (`image_processor/main.py:58-63` returns (ndarray, icc, exif)):
@@ -43,7 +67,7 @@ def encode_gray(
     if img.dtype != np.uint8 or img.ndim != 2:
         raise ValueError("encode_gray expects a 2-D uint8 array")
     h, w = img.shape
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1 if interlace else 0)
     side = b""
     if icc is not None:
         name, profile = icc
@@ -62,8 +86,17 @@ def encode_gray(
             + struct.pack("<I", 0)
         )
         side += _chunk(b"eXIf", tiff)
-    # filter byte 0 per scanline
-    raw = b"".join(b"\x00" + img[r].tobytes() for r in range(h))
+    if interlace:
+        # seven filter-0 sub-images, in pass order, empty passes skipped
+        raw = b"".join(
+            b"\x00" + img[y0 + r * dy, x0::dx].tobytes()
+            for (x0, y0, dx, dy), (pw, ph) in zip(_ADAM7, _adam7_dims(w, h))
+            if pw and ph
+            for r in range(ph)
+        )
+    else:
+        # filter byte 0 per scanline
+        raw = b"".join(b"\x00" + img[r].tobytes() for r in range(h))
     return (
         _SIGNATURE
         + _chunk(b"IHDR", ihdr)
@@ -180,38 +213,13 @@ def rgb_to_gray(img: np.ndarray) -> np.ndarray:
     return np.clip(np.rint(y), 0, 255).astype(np.uint8)
 
 
-def decode_gray(data: bytes) -> np.ndarray:
-    """PNG bytes (grayscale-8 OR truecolor-8) -> uint8 HxW array.
-
-    Truecolor (color type 2 — the reference's native ndarray shape,
-    `image_processor/main.py:58-63`) is converted to luminance via
-    `rgb_to_gray`; gray files take the unchanged byte-identical path.
-    """
-    if data[:8] != _SIGNATURE:
-        raise ValueError("not a PNG")
-    pos = 8
-    width = height = None
-    idat = bytearray()
-    while pos < len(data):
-        (length,) = struct.unpack(">I", data[pos : pos + 4])
-        tag = data[pos + 4 : pos + 8]
-        payload = data[pos + 8 : pos + 8 + length]
-        pos += 12 + length
-        if tag == b"IHDR":
-            width, height, depth, ctype = struct.unpack(">IIBB", payload[:10])
-            if depth == 8 and ctype == 2:
-                return rgb_to_gray(decode_rgb(data))
-            if depth != 8 or ctype != 0:
-                raise ValueError(f"unsupported PNG: depth={depth} ctype={ctype}")
-        elif tag == b"IDAT":
-            idat.extend(payload)
-        elif tag == b"IEND":
-            break
-    if width is None:
-        raise ValueError("missing IHDR")
-    raw = zlib.decompress(bytes(idat))
+def _defilter(raw: bytes, height: int, width: int) -> np.ndarray:
+    """Undo PNG scanline filtering for one 8-bit gray (sub-)image: raw is
+    height x (1 + width) bytes; all five standard filters."""
     stride = width + 1
-    flat = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride)
+    flat = np.frombuffer(raw[: height * stride], dtype=np.uint8).reshape(
+        height, stride
+    )
     if not flat[:, 0].any():
         # fast path: every scanline uses filter 0 (what encode_gray writes)
         # — one reshape, no per-row Python loop or int64 widening
@@ -245,3 +253,59 @@ def decode_gray(data: bytes) -> np.ndarray:
         out[r] = cur.astype(np.uint8)
         prev = cur
     return out
+
+
+def decode_gray(data: bytes) -> np.ndarray:
+    """PNG bytes (grayscale-8 OR truecolor-8, non-interlaced or Adam7
+    grayscale) -> uint8 HxW array.
+
+    Truecolor (color type 2 — the reference's native ndarray shape,
+    `image_processor/main.py:58-63`) is converted to luminance via
+    `rgb_to_gray`; gray files take the unchanged byte-identical path.
+    Adam7 (interlace 1, round 6): the seven sub-images defilter
+    independently (filter context resets per pass, PNG spec 4.5.2) and
+    scatter back onto the pass grid.
+    """
+    if data[:8] != _SIGNATURE:
+        raise ValueError("not a PNG")
+    pos = 8
+    width = height = None
+    interlace = 0
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            width, height, depth, ctype = struct.unpack(">IIBB", payload[:10])
+            interlace = payload[12] if len(payload) >= 13 else 0
+            if depth == 8 and ctype == 2:
+                return rgb_to_gray(decode_rgb(data))
+            if depth != 8 or ctype != 0:
+                raise ValueError(f"unsupported PNG: depth={depth} ctype={ctype}")
+            if interlace not in (0, 1):
+                raise ValueError(f"unsupported PNG interlace {interlace}")
+        elif tag == b"IDAT":
+            idat.extend(payload)
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    if interlace == 1:
+        out = np.zeros((height, width), dtype=np.uint8)
+        off = 0
+        for (x0, y0, dx, dy), (pw, ph) in zip(
+            _ADAM7, _adam7_dims(width, height)
+        ):
+            if not pw or not ph:
+                continue
+            n = ph * (pw + 1)
+            sub = _defilter(raw[off : off + n], ph, pw)
+            off += n
+            out[y0::dy, x0::dx] = sub
+        if off != len(raw):
+            raise ValueError("Adam7 data length mismatch")
+        return out
+    return _defilter(raw, height, width)

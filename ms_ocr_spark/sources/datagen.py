@@ -753,11 +753,14 @@ def _gen_chunk(args: tuple) -> tuple[list, list, list, list, list]:
                         }
                     )
                 else:
+                    # ~1 in 4 gray PNGs interlace (Adam7, round 6) —
+                    # lossless, so the golden is unchanged
                     payload = encode_gray(
                         img,
                         dpi=side["dpi"],
                         icc=side["icc"],
                         exif_orientation=side["orientation"],
+                        interlace=_h(seed, "adam7", i, off) % 4 == 0,
                     )
                     meta_rows.append(image_meta_row(ref, img, side))
                 media_rows.append(
@@ -909,8 +912,9 @@ def write_corpus(out_dir: str, n_docs: int, seed: int = 42, **kw) -> dict[str, s
     #         vertical tiers sample KANA_VERT_ALPHABET (no bar glyphs)
     # fmt 13: tiled TIFFs decode — tiff tier rotates 3 tiled variants,
     #         unsupported_tiff fixture becomes JPEG-in-TIFF (comp 7)
+    # fmt 14: ~25% of gray PNGs are Adam7-interlaced (lossless)
     params = {
-        "fmt": 13,
+        "fmt": 14,
         "n_docs": n_docs,
         "seed": seed,
         **{k: kw[k] for k in sorted(kw) if k != "processes"},

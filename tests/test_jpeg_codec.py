@@ -447,3 +447,66 @@ def test_color_tier_ocr_exact():
             "media_ref"
         ]
     assert n_color >= 5
+
+
+# ------------------------------------------------------------------- adam7
+def test_adam7_round_trip_and_foreign_filters():
+    """Adam7 interlaced grayscale: exact roundtrip at awkward dims
+    (sub-pass-empty shapes included), plus a hand-built stream whose
+    sub-images use the Up filter — per-pass filter context resets."""
+    import struct
+    import zlib
+
+    from ms_ocr_spark.extraction.ocr.png import (
+        _ADAM7,
+        _SIGNATURE,
+        _adam7_dims,
+        _chunk,
+        decode_gray,
+        encode_gray,
+        side_values,
+    )
+
+    rng = np.random.default_rng(8)
+    for shape in [(32, 64), (33, 41), (7, 5), (1, 1), (8, 8), (100, 3)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        assert np.array_equal(decode_gray(encode_gray(img, interlace=True)), img)
+    img = rng.integers(0, 256, (40, 56), dtype=np.uint8)
+    raw = bytearray()
+    for (x0, y0, dx, dy), (pw, ph) in zip(_ADAM7, _adam7_dims(56, 40)):
+        if not pw or not ph:
+            continue
+        prev = np.zeros(pw, dtype=np.int64)
+        for r in range(ph):
+            line = img[y0 + r * dy, x0::dx].astype(np.int64)
+            raw.append(2)  # Up
+            raw.extend(((line - prev) & 0xFF).astype(np.uint8).tobytes())
+            prev = line
+    ihdr = struct.pack(">IIBBBBB", 56, 40, 8, 0, 0, 0, 1)
+    b = (
+        _SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_gray(b), img)
+    # ancillary side-values ride along unchanged
+    sv = side_values(encode_gray(img, exif_orientation=3, interlace=True))
+    assert sv["orientation"] == 3
+
+
+def test_adam7_tier_ocr_exact():
+    """Interlaced PNGs appear in the mixed tier (~25% of gray PNGs) and
+    decode to exact truth text; non-interlaced outputs byte-identical."""
+    from ms_ocr_spark.extraction.ocr import decode_media
+    from ms_ocr_spark.sources.datagen import gen_corpus
+
+    _, media, _, _, _ = gen_corpus(16, seed=61, processes=1)
+    n_interlaced = 0
+    for row in media.to_pylist():
+        buf = bytes(row["payload"])
+        if buf[:8] == b"\x89PNG\r\n\x1a\n":
+            ihdr_at = buf.index(b"IHDR") + 4
+            n_interlaced += buf[ihdr_at + 12] == 1
+        assert decode_image(decode_media(buf)) == row["truth_text"]
+    assert n_interlaced >= 2
