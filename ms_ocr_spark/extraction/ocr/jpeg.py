@@ -1226,7 +1226,11 @@ def _box_downsample(plane: np.ndarray, fy: int, fx: int) -> np.ndarray:
     return np.clip(np.rint(boxed), 0, 255).astype(np.uint8)
 
 
-_SUBSAMPLING = {"444": ((1, 1), (1, 1), (1, 1)), "420": ((2, 2), (1, 1), (1, 1))}
+_SUBSAMPLING = {
+    "444": ((1, 1), (1, 1), (1, 1)),
+    "422": ((2, 1), (1, 1), (1, 1)),  # horizontal-only chroma subsample
+    "420": ((2, 2), (1, 1), (1, 1)),
+}
 
 
 def _color_planes(

@@ -140,6 +140,29 @@ def side_values(data: bytes) -> dict:
     return out
 
 
+def encode_palette(img: np.ndarray, palette: np.ndarray) -> bytes:
+    """uint8 HxW index array + (<=256)x3 palette -> PNG bytes (color
+    type 3, bit depth 8, PLTE chunk, filter 0) — the indexed-color
+    layout common in web corpora (round 6)."""
+    if img.dtype != np.uint8 or img.ndim != 2:
+        raise ValueError("encode_palette expects a 2-D uint8 index array")
+    palette = np.asarray(palette, dtype=np.uint8)
+    if palette.ndim != 2 or palette.shape[1] != 3 or len(palette) > 256:
+        raise ValueError("palette must be (<=256)x3 uint8")
+    if img.max(initial=0) >= len(palette):
+        raise ValueError("index out of palette range")
+    h, w = img.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    raw = b"".join(b"\x00" + img[r].tobytes() for r in range(h))
+    return (
+        _SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", palette.tobytes())
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
 def _paeth(a: int, b: int, c: int) -> int:
     p = a + b - c
     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
@@ -271,6 +294,8 @@ def decode_gray(data: bytes) -> np.ndarray:
     pos = 8
     width = height = None
     interlace = 0
+    ctype = 0
+    plte: np.ndarray | None = None
     idat = bytearray()
     while pos < len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
@@ -282,10 +307,12 @@ def decode_gray(data: bytes) -> np.ndarray:
             interlace = payload[12] if len(payload) >= 13 else 0
             if depth == 8 and ctype == 2:
                 return rgb_to_gray(decode_rgb(data))
-            if depth != 8 or ctype != 0:
+            if depth != 8 or ctype not in (0, 3):
                 raise ValueError(f"unsupported PNG: depth={depth} ctype={ctype}")
             if interlace not in (0, 1):
                 raise ValueError(f"unsupported PNG interlace {interlace}")
+        elif tag == b"PLTE":
+            plte = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat.extend(payload)
         elif tag == b"IEND":
@@ -307,5 +334,14 @@ def decode_gray(data: bytes) -> np.ndarray:
             out[y0::dy, x0::dx] = sub
         if off != len(raw):
             raise ValueError("Adam7 data length mismatch")
-        return out
-    return _defilter(raw, height, width)
+    else:
+        out = _defilter(raw, height, width)
+    if ctype == 3:
+        # indexed color (round 6): the defiltered plane holds palette
+        # INDICES — map through PLTE, then BT.601 like any color path
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        if int(out.max(initial=0)) >= len(plte):
+            raise ValueError("palette index out of range")
+        return rgb_to_gray(plte[out])
+    return out

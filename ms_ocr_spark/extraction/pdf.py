@@ -299,6 +299,7 @@ def _unescape(s: str) -> str:
 
 _TOKEN_RE = re.compile(
     r"""\((?:[^()\\]|\\.)*\)   # literal string (with escapes)
+      | <[0-9A-Fa-f\s]*>       # hex string (7.3.4.3)
       | \[ | \]
       | [-+]?\d*\.?\d+         # number
       | /[A-Za-z0-9#._-]+      # name
@@ -306,6 +307,16 @@ _TOKEN_RE = re.compile(
     """,
     re.X,
 )
+
+
+def _unhex(s: str) -> str:
+    """PDF hex string body -> text: whitespace dropped, an odd final
+    digit padded with 0 (ISO 32000-1 7.3.4.3), latin-1 byte semantics
+    matching the literal-string path."""
+    digits = "".join(s.split())
+    if len(digits) % 2:
+        digits += "0"
+    return bytes.fromhex(digits).decode("latin-1")
 
 
 def _extract_from_stream(content: bytes, page: int) -> list[tuple]:
@@ -333,6 +344,8 @@ def _extract_from_stream(content: bytes, page: int) -> list[tuple]:
             continue
         elif tok.startswith("("):
             stack.append(("s", _unescape(tok[1:-1])))
+        elif tok.startswith("<"):
+            stack.append(("s", _unhex(tok[1:-1])))
         elif tok in ("[", "]"):
             continue  # TJ arrays: strings concatenate, kerning numbers drop
         elif re.fullmatch(r"[-+]?\d*\.?\d+", tok):

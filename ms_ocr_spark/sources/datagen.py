@@ -325,12 +325,17 @@ def colorize(img: np.ndarray, ink: tuple, bg: tuple) -> np.ndarray:
 
 
 def rgb_payload_and_meta(seed: int, ref: str, img: np.ndarray) -> tuple[bytes, dict]:
-    """Truecolor-PNG payload + golden metadata measured on the BT.601
-    luminance (what a correct decode-then-measure engine sees)."""
-    from ms_ocr_spark.extraction.ocr.png import encode_rgb, rgb_to_gray
+    """Color-PNG payload + golden metadata measured on the BT.601
+    luminance (what a correct decode-then-measure engine sees).  Round 6:
+    ~1 in 3 rotates to the PALETTE layout (color type 3) — the palette is
+    the colorize ramp, so indices ARE the gray values and the decoded
+    luminance (hence the golden) is identical to the truecolor variant."""
+    from ms_ocr_spark.extraction.ocr.png import encode_palette, encode_rgb, rgb_to_gray
 
     h = _h(seed, "rgbc", ref)
-    rgb = colorize(img, _RGB_INKS[h % len(_RGB_INKS)], _RGB_BGS[(h >> 4) % len(_RGB_BGS)])
+    ink = _RGB_INKS[h % len(_RGB_INKS)]
+    bg = _RGB_BGS[(h >> 4) % len(_RGB_BGS)]
+    rgb = colorize(img, ink, bg)
     lum = rgb_to_gray(rgb)
     meta = {
         "media_ref": ref,
@@ -343,6 +348,9 @@ def rgb_payload_and_meta(seed: int, ref: str, img: np.ndarray) -> tuple[bytes, d
         "icc_name": None,
         "orientation": None,
     }
+    if (h >> 8) % 3 == 0:
+        ramp = colorize(np.arange(256, dtype=np.uint8)[None, :], ink, bg)[0]
+        return encode_palette(img, ramp), meta
     return encode_rgb(rgb), meta
 
 
@@ -725,7 +733,7 @@ def _gen_chunk(args: tuple) -> tuple[list, list, list, list, list]:
                         icc_name=side["icc"][0] if side["icc"] else None,
                         exif_orientation=side["orientation"],
                     )
-                    variant = hc % 5
+                    variant = hc % 7
                     if variant == 0:
                         payload = encode_color_jpeg(rgb, "444", **ckw)
                     elif variant == 1:
@@ -736,8 +744,12 @@ def _gen_chunk(args: tuple) -> tuple[list, list, list, list, list]:
                         )
                     elif variant == 3:
                         payload = encode_color_jpeg_progressive(rgb, "444", **ckw)
-                    else:
+                    elif variant == 4:
                         payload = encode_color_jpeg_progressive(rgb, "420", **ckw)
+                    elif variant == 5:
+                        payload = encode_color_jpeg(rgb, "422", **ckw)
+                    else:
+                        payload = encode_color_jpeg_progressive(rgb, "422", **ckw)
                     dec = _dec_jpg(payload)
                     meta_rows.append(
                         {
@@ -913,8 +925,10 @@ def write_corpus(out_dir: str, n_docs: int, seed: int = 42, **kw) -> dict[str, s
     # fmt 13: tiled TIFFs decode — tiff tier rotates 3 tiled variants,
     #         unsupported_tiff fixture becomes JPEG-in-TIFF (comp 7)
     # fmt 14: ~25% of gray PNGs are Adam7-interlaced (lossless)
+    # fmt 15: rgb tier rotates palette (ctype 3) PNGs; color-JPEG tier
+    #         adds 4:2:2 variants (baseline + progressive)
     params = {
-        "fmt": 14,
+        "fmt": 15,
         "n_docs": n_docs,
         "seed": seed,
         **{k: kw[k] for k in sorted(kw) if k != "processes"},
@@ -1365,12 +1379,17 @@ def pdf_modern_bytes(
         parts.append(f"1 0 0 1 {x:.1f} {y:.1f} Tm ({_esc(str(b['text']))}) Tj")
     parts.append("ET")
     s1 = _z.compress("\n".join(parts).encode("latin-1", "replace"))
-    # ---- content stream 2: TL/T*/' column
+    # ---- content stream 2: TL/T*/' column; every other line is a HEX
+    # string (ISO 32000-1 7.3.4.3) so the fixture also exercises the
+    # <...> tokenizer path
     cx, cy0, lead = 72.0, 700.0, 18.0
     parts2 = ["BT /F1 10 Tf", f"{lead:.1f} TL", f"1 0 0 1 {cx:.1f} {cy0:.1f} Tm"]
     for i, c in enumerate(column):
-        t = _esc(str(c["text"]))
-        parts2.append(f"({t}) Tj" if i == 0 else f"({t}) '")
+        if i % 2:
+            t = "<" + str(c["text"]).encode("latin-1", "replace").hex() + ">"
+        else:
+            t = "(" + _esc(str(c["text"])) + ")"
+        parts2.append(f"{t} Tj" if i == 0 else f"{t} '")
     parts2.append("ET")
     s2 = _z.compress("\n".join(parts2).encode("latin-1", "replace"))
 
@@ -1508,7 +1527,8 @@ def write_pdf_corpus(out_dir: str, n_docs: int, seed: int = 42) -> dict[str, str
     # (pdf_modern_bytes: ObjStm + xref stream w/ Predictor-12 + two
     # /Contents streams + TL/T*/' + indirect /Length + incremental-
     # update decoy) — the parser scope of VERDICT r5 item 5
-    params = {"n_docs": n_docs, "seed": seed, "fmt": 2}
+    # fmt 3: modern stream 2 renders every other line as a HEX string
+    params = {"n_docs": n_docs, "seed": seed, "fmt": 3}
     params_path = os.path.join(out_dir, "params.json")
     if all(os.path.exists(p) for p in paths.values()) and os.path.exists(params_path):
         with open(params_path) as f:

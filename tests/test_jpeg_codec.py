@@ -510,3 +510,48 @@ def test_adam7_tier_ocr_exact():
             n_interlaced += buf[ihdr_at + 12] == 1
         assert decode_image(decode_media(buf)) == row["truth_text"]
     assert n_interlaced >= 2
+
+
+def test_color_422_roundtrip():
+    """4:2:2 (horizontal-only chroma subsample) — the general MCU
+    machinery handles (2,1) factors; decode stays within DCT-rounding
+    distance of the ideal 1x2 box-downsample roundtrip."""
+    from ms_ocr_spark.extraction.ocr.jpeg import (
+        _box_downsample,
+        rgb_to_ycbcr,
+        ycbcr_to_rgb,
+    )
+
+    def ideal(rgb):
+        h, w, _ = rgb.shape
+        y, cb, cr = rgb_to_ycbcr(rgb)
+        up = lambda p: np.repeat(_box_downsample(p, 1, 2), 2, 1)[:, :w]
+        return ycbcr_to_rgb(y, up(cb), up(cr))
+
+    for rgb in _color_zoo()[1:3]:
+        ref = ideal(rgb)
+        for enc in (encode_color_jpeg, encode_color_jpeg_progressive):
+            b = enc(rgb, "422")
+            assert jpeg_scope_reason(b) is None
+            err = np.abs(decode_jpeg_rgb(b).astype(int) - ref.astype(int)).max()
+            assert err <= 8, (enc.__name__, err)
+
+
+def test_palette_png_round_trip():
+    """Indexed-color PNG (type 3): PLTE mapping -> BT.601 equals the
+    truecolor path exactly when the palette is the colorize ramp."""
+    from ms_ocr_spark.extraction.ocr.png import (
+        decode_gray as png_decode_gray,
+        encode_palette,
+        rgb_to_gray,
+    )
+    from ms_ocr_spark.sources.datagen import _RGB_BGS, _RGB_INKS, colorize
+
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (33, 47), dtype=np.uint8)
+    ink, bg = _RGB_INKS[0], _RGB_BGS[0]
+    ramp = colorize(np.arange(256, dtype=np.uint8)[None, :], ink, bg)[0]
+    out = png_decode_gray(encode_palette(img, ramp))
+    assert np.array_equal(out, rgb_to_gray(colorize(img, ink, bg)))
+    with pytest.raises(ValueError):
+        encode_palette(img, ramp[:4])  # index out of palette range

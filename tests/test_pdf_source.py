@@ -171,3 +171,28 @@ def test_pdf_corpus_modern_class_golden():
         n_modern += b"/ObjStm" in buf
         assert pdf_text_spans(buf) == gold[row["doc_id"]], row["doc_id"]
     assert n_modern >= 3
+
+
+def test_pdf_hex_strings():
+    """Hex strings (<...>, ISO 32000-1 7.3.4.3): whitespace inside the
+    digits drops, an odd final digit pads with 0, and hex/literal
+    strings concatenate inside TJ arrays."""
+    c = (
+        b"BT /F1 10 Tf 1 0 0 1 30 700 Tm <48 656C6C 6F> Tj "
+        b"0 -20 Td [<41> (mix) <42>] TJ 0 -20 Td <5> Tj ET"
+    )
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(c), c),
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    for i, body in enumerate(objs, 1):
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    out += b"trailer\n<< /Size 5 /Root 1 0 R >>\n%%EOF\n"
+    assert pdf_text_spans(bytes(out)) == [
+        (0, 30.0, 700.0, "Hello"),
+        (0, 30.0, 680.0, "AmixB"),
+        (0, 30.0, 660.0, "P"),
+    ]
