@@ -315,6 +315,17 @@ def main() -> None:
         "probe_post_1core_img_per_sec": post["pool[1]_img_per_sec"],
         "window_valid": headline_pre >= 0.85 and headline_post >= 0.8,
     }
+    # window-normalized headline (VERDICT r5 item 9): scale docs/s by the
+    # anchor-to-window ratio of the no-Spark 1-core kernel probe, so
+    # cross-round comparisons cancel host-window drift.  Anchor = 158.4
+    # img/s, the best healthy-window 1-core rate on record (BENCH_r05
+    # post-probe); the normalized number answers "what would this round's
+    # engine have measured on THAT window".
+    window_1core = (pre_1core + post["pool[1]_img_per_sec"]) / 2
+    headline_probe["normalized_anchor_1core_img_per_sec"] = 158.4
+    if window_1core > 0:
+        headline_probe["window_mean_1core_img_per_sec"] = round(window_1core, 1)
+        headline_probe["normalization_factor"] = round(158.4 / window_1core, 3)
     print(f"bench: headline window {headline_probe}", file=sys.stderr)
 
     # Scaling ladder (sandbox proxy for two cluster sizes, BASELINE.json
@@ -452,9 +463,14 @@ def main() -> None:
     extraction["host_effective_cores_after"] = effective_cores()
     extraction["kernel_pool_control"] = kernel_pool_control()
 
+    norm = headline_probe.get("normalization_factor")
+    normalized_dps = (
+        round(runs[CPUS]["docs_per_sec"] * norm, 1) if norm else None
+    )
     detail = {
         "metric": "docs_per_sec_extraction",
         "value": runs[CPUS]["docs_per_sec"],
+        "normalized_docs_per_sec": normalized_dps,
         "unit": "sec",
         "queries": timings,
         "headline_probe": headline_probe,
@@ -476,6 +492,7 @@ def main() -> None:
     result = {
         "metric": "docs_per_sec_extraction",
         "value": runs[CPUS]["docs_per_sec"],
+        "normalized_docs_per_sec": normalized_dps,
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "headline_probe": headline_probe,
