@@ -426,10 +426,15 @@ def decode_gray_jpeg(data: bytes) -> np.ndarray:
     """
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
-    if _jpeg_frame_components(data) == 3:
+    n_comp = _jpeg_frame_components(data)
+    if n_comp == 3:
         from ms_ocr_spark.extraction.ocr.png import rgb_to_gray
 
         return rgb_to_gray(decode_jpeg_rgb(data))
+    if n_comp == 4:
+        from ms_ocr_spark.extraction.ocr.png import rgb_to_gray
+
+        return rgb_to_gray(decode_cmyk_jpeg_rgb(data))
     if is_progressive_jpeg(data):
         return decode_gray_jpeg_progressive(data)
     pos = 2
@@ -1021,8 +1026,11 @@ def jpeg_scope_reason(data: bytes) -> str | None:
 
       * `truncated_jpeg`           — SOI present but the marker walk hits
                                      EOI/end-of-data before a scan
-      * `unsupported_jpeg_layout`  — component counts other than 1/3
-                                     (CMYK), sampling factors above 2,
+      * `unsupported_jpeg_layout`  — component counts other than
+                                     1/3/4, 4-component without Adobe
+                                     APP14 transform 0 (YCCK/untagged)
+                                     or progressive, sampling factors
+                                     above 2,
                                      non-8-bit precision, arithmetic
                                      coding, lossless/differential/
                                      hierarchical frame types,
@@ -1073,7 +1081,14 @@ def jpeg_scope_reason(data: bytes) -> str | None:
             if len(payload) < 6:
                 return "truncated_jpeg"
             prec, _h, _w, n_comp = struct.unpack(">BHHB", payload[:6])
-            if n_comp not in (1, 3) or prec != 8:
+            if n_comp not in (1, 3, 4) or prec != 8:
+                return "unsupported_jpeg_layout"
+            if n_comp == 4 and (
+                adobe_app14_transform(data) != 0 or marker == 0xC2
+            ):
+                # 4-component needs the Adobe APP14 CMYK tag (transform
+                # 0); YCCK (2), untagged 4-comp, and progressive CMYK
+                # stay out of scope
                 return "unsupported_jpeg_layout"
             if len(payload) < 6 + 3 * n_comp:
                 return "truncated_jpeg"
@@ -1725,3 +1740,126 @@ def encode_lossless_stub(h: int = 32, w: int = 64) -> bytes:
     remains outside scope."""
     sof3 = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
     return b"\xff\xd8" + _seg(0xFFC3, sof3) + b"\xff\xd9"
+
+
+# ---------------------------------------------------------------------------
+# CMYK (4-component, Adobe APP14) JPEG — round 6 late addition.
+#
+# Print-workflow JPEGs (PDF-embedded scans, prepress) are 4-component
+# CMYK with the Adobe APP14 marker; per the Adobe convention the sample
+# values are stored INVERTED (0xFF = no ink).  The reference decodes
+# them via PIL (`image_processor/main.py:58-63`, mode "CMYK") and grays
+# the RGB conversion.  The T.81 machinery here is component-generic, so
+# this section is only: RGB<->CMYK converters, the APP14 probe, a
+# 4-component baseline encoder (4:4:4), and the gray dispatch.  Scope:
+# baseline only, transform 0 (plain CMYK; YCCK transform 2 stays out —
+# `jpeg_scope_reason` classifies it).
+# ---------------------------------------------------------------------------
+
+
+def rgb_to_cmyk(rgb: np.ndarray) -> list[np.ndarray]:
+    """uint8 HxWx3 -> four uint8 planes [C, M, Y, K] (max-K extraction;
+    0 = no ink — the NON-inverted orientation; the encoder inverts on
+    write per the Adobe convention)."""
+    r = rgb[:, :, 0].astype(np.float64)
+    g = rgb[:, :, 1].astype(np.float64)
+    b = rgb[:, :, 2].astype(np.float64)
+    k = 255.0 - np.maximum(np.maximum(r, g), b)
+    denom = np.maximum(255.0 - k, 1e-9)
+    c = (255.0 - r - k) * 255.0 / denom
+    m = (255.0 - g - k) * 255.0 / denom
+    y = (255.0 - b - k) * 255.0 / denom
+    return [
+        np.clip(np.rint(p), 0, 255).astype(np.uint8) for p in (c, m, y, k)
+    ]
+
+
+def cmyk_to_rgb(c, m, y, k) -> np.ndarray:
+    """Inverse of `rgb_to_cmyk` (float64, rounded once)."""
+    kf = k.astype(np.float64)
+    scale = (255.0 - kf) / 255.0
+    out = np.stack(
+        [
+            (255.0 - p.astype(np.float64)) * scale
+            for p in (c, m, y)
+        ],
+        axis=2,
+    )
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def adobe_app14_transform(data: bytes) -> int | None:
+    """Color-transform byte of the Adobe APP14 segment (0=CMYK/RGB,
+    1=YCbCr, 2=YCCK), or None when absent — header marker walk only."""
+    pos = 2
+    n = len(data)
+    while pos + 4 <= n and data[pos] == 0xFF:
+        marker = data[pos + 1]
+        if marker in (0xD9, 0xDA):
+            return None
+        if 0xD0 <= marker <= 0xD8 or marker == 0x01:
+            pos += 2
+            continue
+        (seg_len,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        if marker == 0xEE and data[pos + 4 : pos + 9] == b"Adobe":
+            payload = data[pos + 4 : pos + 2 + seg_len]
+            return payload[11] if len(payload) >= 12 else None
+        pos += 2 + seg_len
+    return None
+
+
+def encode_cmyk_jpeg(
+    rgb: np.ndarray,
+    dpi: float | None = None,
+    icc_name: str | None = None,
+    exif_orientation: int | None = None,
+) -> bytes:
+    """uint8 HxWx3 RGB -> 4-component CMYK baseline JFIF-less JPEG with
+    the Adobe APP14 marker (transform 0), samples stored INVERTED per
+    the Adobe convention, all components 1x1 (no subsampling)."""
+    h, w = rgb.shape[:2]
+    planes = [255 - p for p in rgb_to_cmyk(rgb)]  # Adobe inversion
+    q = _FLAT_QUANT
+    zz = [_quantize_blocks(p, q) for p in planes]
+    factors = [(1, 1)] * 4
+    mcux, mcuy = (w + 7) // 8, (h + 7) // 8
+    order = _mcu_block_order(factors, mcux, mcuy)
+    bw_ = _BitWriter()
+    prev = [0, 0, 0, 0]
+    for ci, bi in order:
+        prev[ci] = _encode_baseline_block(bw_, zz[ci][bi], prev[ci])
+    entropy = bw_.flush()
+    dht = (
+        b"\x00" + bytes(_DC_BITS[1:]) + bytes(_DC_VALS)
+        + b"\x10" + bytes(_AC_BITS[1:]) + bytes(_AC_VALS)
+    )
+    dqt = b"\x00" + bytes(int(v) for v in q)
+    sof = struct.pack(">BHHB", 8, h, w, 4) + b"".join(
+        bytes([cid, 0x11, 0]) for cid in (1, 2, 3, 4)
+    )
+    app14 = b"Adobe" + struct.pack(">HHHB", 100, 0, 0, 0)  # transform 0
+    sos = b"\x04" + bytes(v for cid in (1, 2, 3, 4) for v in (cid, 0x00)) + b"\x00\x3f\x00"
+    density = (1, round(dpi), round(dpi)) if dpi else (0, 1, 1)
+    app0 = b"JFIF\x00\x01\x01" + struct.pack(">BHHBB", *density, 0, 0)
+    return (
+        b"\xff\xd8"
+        + _seg(0xFFE0, app0)
+        + _seg(0xFFEE, app14)
+        + _meta_segments(icc_name, exif_orientation)
+        + _seg(0xFFDB, dqt)
+        + _seg(0xFFC0, sof)
+        + _seg(0xFFC4, dht)
+        + _seg(0xFFDA, sos)
+        + entropy
+        + b"\xff\xd9"
+    )
+
+
+def decode_cmyk_jpeg_rgb(data: bytes) -> np.ndarray:
+    """4-component Adobe-CMYK JPEG -> uint8 HxWx3 RGB (inversion undone,
+    CMYK composited)."""
+    if adobe_app14_transform(data) != 0:
+        raise ValueError("4-component JPEG without Adobe APP14 transform 0")
+    planes = _decode_jpeg_planes(data, expect_comps=4)
+    c, m, y, k = [255 - p for p in planes]  # undo the Adobe inversion
+    return cmyk_to_rgb(c, m, y, k)

@@ -1859,9 +1859,9 @@ def _corpus_paths_color(n_docs: int = 40) -> dict[str, str]:
     """Color (3-component YCbCr) JPEG media tier (round 6 — the
     reference decodes color via PIL, `image_processor/main.py:58-63`,
     and grays it at `main.py:189-207`; virtually all camera/web JPEGs
-    are YCbCr): ~55% of payloads are color JFIF rotating through
-    baseline 4:4:4 / 4:2:0 / 4:2:0+RSTn / progressive 4:4:4 /
-    progressive 4:2:0; the remainder grayscale PNG."""
+    are YCbCr): ~55% of payloads are color JPEG rotating through
+    baseline 4:4:4 / 4:2:0 / 4:2:0+RSTn / 4:2:2 / progressive 4:4:4 /
+    4:2:0 / 4:2:2 / Adobe-CMYK (4-component); the rest grayscale PNG."""
     import os
 
     from ms_ocr_spark.sources.datagen import write_corpus

@@ -718,6 +718,7 @@ def _gen_chunk(args: tuple) -> tuple[list, list, list, list, list]:
                     # error stays inside the kernel's binarize margin).
                     from ms_ocr_spark.extraction.ocr.jpeg import (
                         decode_gray_jpeg as _dec_jpg,
+                        encode_cmyk_jpeg,
                         encode_color_jpeg,
                         encode_color_jpeg_progressive,
                     )
@@ -733,7 +734,7 @@ def _gen_chunk(args: tuple) -> tuple[list, list, list, list, list]:
                         icc_name=side["icc"][0] if side["icc"] else None,
                         exif_orientation=side["orientation"],
                     )
-                    variant = hc % 7
+                    variant = hc % 8
                     if variant == 0:
                         payload = encode_color_jpeg(rgb, "444", **ckw)
                     elif variant == 1:
@@ -748,8 +749,11 @@ def _gen_chunk(args: tuple) -> tuple[list, list, list, list, list]:
                         payload = encode_color_jpeg_progressive(rgb, "420", **ckw)
                     elif variant == 5:
                         payload = encode_color_jpeg(rgb, "422", **ckw)
-                    else:
+                    elif variant == 6:
                         payload = encode_color_jpeg_progressive(rgb, "422", **ckw)
+                    else:
+                        # 4-component Adobe CMYK (print-workflow JPEGs)
+                        payload = encode_cmyk_jpeg(rgb, **ckw)
                     dec = _dec_jpg(payload)
                     meta_rows.append(
                         {
@@ -927,8 +931,9 @@ def write_corpus(out_dir: str, n_docs: int, seed: int = 42, **kw) -> dict[str, s
     # fmt 14: ~25% of gray PNGs are Adam7-interlaced (lossless)
     # fmt 15: rgb tier rotates palette (ctype 3) PNGs; color-JPEG tier
     #         adds 4:2:2 variants (baseline + progressive)
+    # fmt 16: color tier adds Adobe APP14 CMYK (4-component) variant
     params = {
-        "fmt": 15,
+        "fmt": 16,
         "n_docs": n_docs,
         "seed": seed,
         **{k: kw[k] for k in sorted(kw) if k != "processes"},

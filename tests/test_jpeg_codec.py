@@ -555,3 +555,80 @@ def test_palette_png_round_trip():
     assert np.array_equal(out, rgb_to_gray(colorize(img, ink, bg)))
     with pytest.raises(ValueError):
         encode_palette(img, ramp[:4])  # index out of palette range
+
+
+# -------------------------------------------------------------------- cmyk
+def test_cmyk_adobe_round_trip():
+    """4-component Adobe APP14 CMYK (transform 0, samples stored
+    inverted): decode undoes the inversion and composites to RGB within
+    DCT-rounding of the CMYK-model roundtrip; gray dispatch matches the
+    source luminance."""
+    from ms_ocr_spark.extraction.ocr.jpeg import (
+        adobe_app14_transform,
+        cmyk_to_rgb,
+        decode_cmyk_jpeg_rgb,
+        encode_cmyk_jpeg,
+        jpeg_side_values,
+        rgb_to_cmyk,
+    )
+    from ms_ocr_spark.extraction.ocr.png import rgb_to_gray
+
+    for rgb in _color_zoo()[1:]:
+        b = encode_cmyk_jpeg(rgb)
+        assert adobe_app14_transform(b) == 0
+        assert jpeg_scope_reason(b) is None
+        ideal = cmyk_to_rgb(*rgb_to_cmyk(rgb))
+        err = np.abs(
+            decode_cmyk_jpeg_rgb(b).astype(int) - ideal.astype(int)
+        ).max()
+        assert err <= 4, err
+        g = decode_gray_jpeg(b)
+        gerr = np.abs(g.astype(int) - rgb_to_gray(rgb).astype(int)).max()
+        assert gerr <= 6, gerr
+    b = encode_cmyk_jpeg(
+        np.full((16, 24, 3), 120, np.uint8),
+        dpi=200.0,
+        icc_name="sRGB",
+        exif_orientation=6,
+    )
+    assert jpeg_side_values(b) == {
+        "dpi": 200.0,
+        "icc_name": "sRGB",
+        "orientation": 6,
+    }
+
+
+def test_cmyk_untagged_and_yck_quarantine():
+    """4-component frames WITHOUT Adobe APP14 transform 0 (untagged or
+    YCCK) stay out of scope — scope probe says so and decode raises."""
+    from ms_ocr_spark.extraction.ocr.jpeg import encode_cmyk_jpeg
+
+    rgb = np.full((16, 16, 3), 150, np.uint8)
+    b = encode_cmyk_jpeg(rgb)
+    i = b.find(b"Adobe")
+    # corrupt the transform byte to 2 (YCCK)
+    yck = b[: i + 11] + b"\x02" + b[i + 12 :]
+    assert jpeg_scope_reason(yck) == "unsupported_jpeg_layout"
+    with pytest.raises(ValueError):
+        decode_gray_jpeg(yck)
+    # strip the APP14 segment entirely -> untagged 4-comp
+    j = b.find(b"\xff\xee")
+    import struct as _s
+
+    (seg_len,) = _s.unpack(">H", b[j + 2 : j + 4])
+    untagged = b[:j] + b[j + 2 + seg_len :]
+    assert jpeg_scope_reason(untagged) == "unsupported_jpeg_layout"
+
+
+def test_cmyk_tier_ocr_exact():
+    from ms_ocr_spark.extraction.ocr.jpeg import _jpeg_frame_components
+    from ms_ocr_spark.sources.datagen import gen_corpus
+
+    _, media, _, _, _ = gen_corpus(40, seed=53, color_jpeg_pct=0.55, processes=1)
+    n_cmyk = 0
+    for row in media.to_pylist():
+        buf = bytes(row["payload"])
+        if buf[:3] == b"\xff\xd8\xff" and _jpeg_frame_components(buf) == 4:
+            n_cmyk += 1
+        assert decode_image(decode_media(buf)) == row["truth_text"]
+    assert n_cmyk >= 3
