@@ -307,7 +307,9 @@ def decode_gray(data: bytes) -> np.ndarray:
             interlace = payload[12] if len(payload) >= 13 else 0
             if depth == 8 and ctype == 2:
                 return rgb_to_gray(decode_rgb(data))
-            if depth != 8 or ctype not in (0, 3):
+            if not (
+                (depth == 8 and ctype in (0, 3)) or (depth == 16 and ctype == 0)
+            ):
                 raise ValueError(f"unsupported PNG: depth={depth} ctype={ctype}")
             if interlace not in (0, 1):
                 raise ValueError(f"unsupported PNG interlace {interlace}")
@@ -320,6 +322,16 @@ def decode_gray(data: bytes) -> np.ndarray:
     if width is None:
         raise ValueError("missing IHDR")
     raw = zlib.decompress(bytes(idat))
+    bpp = 2 if depth == 16 else 1  # bytes per sample (gray)
+
+    def _gray_rows(buf: bytes, rows: int, cols: int) -> np.ndarray:
+        sub = _defilter(buf, rows, cols * bpp)
+        if depth == 16:
+            # network byte order: high byte first — collapse to it (the
+            # 8-bit pipeline's view of a 16-bit scan, same as TIFF)
+            return sub.reshape(rows, cols, 2)[:, :, 0].copy()
+        return sub
+
     if interlace == 1:
         out = np.zeros((height, width), dtype=np.uint8)
         off = 0
@@ -328,14 +340,13 @@ def decode_gray(data: bytes) -> np.ndarray:
         ):
             if not pw or not ph:
                 continue
-            n = ph * (pw + 1)
-            sub = _defilter(raw[off : off + n], ph, pw)
+            n = ph * (pw * bpp + 1)
+            out[y0::dy, x0::dx] = _gray_rows(raw[off : off + n], ph, pw)
             off += n
-            out[y0::dy, x0::dx] = sub
         if off != len(raw):
             raise ValueError("Adam7 data length mismatch")
     else:
-        out = _defilter(raw, height, width)
+        out = _gray_rows(raw, height, width)
     if ctype == 3:
         # indexed color (round 6): the defiltered plane holds palette
         # INDICES — map through PLTE, then BT.601 like any color path

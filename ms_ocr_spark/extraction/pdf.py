@@ -309,14 +309,23 @@ _TOKEN_RE = re.compile(
 )
 
 
+def _pdf_text(raw: bytes) -> str:
+    """PDF text-string semantics (ISO 32000-1 7.9.2.2): a UTF-16BE BOM
+    selects UTF-16BE; otherwise bytes read as PDFDocEncoding (latin-1
+    superset for the range this engine emits)."""
+    if raw[:2] == b"\xfe\xff":
+        return raw[2:].decode("utf-16-be", "replace")
+    return raw.decode("latin-1")
+
+
 def _unhex(s: str) -> str:
     """PDF hex string body -> text: whitespace dropped, an odd final
-    digit padded with 0 (ISO 32000-1 7.3.4.3), latin-1 byte semantics
-    matching the literal-string path."""
+    digit padded with 0 (ISO 32000-1 7.3.4.3), then text-string
+    semantics (UTF-16BE BOM honored)."""
     digits = "".join(s.split())
     if len(digits) % 2:
         digits += "0"
-    return bytes.fromhex(digits).decode("latin-1")
+    return _pdf_text(bytes.fromhex(digits))
 
 
 def _extract_from_stream(content: bytes, page: int) -> list[tuple]:
@@ -343,7 +352,8 @@ def _extract_from_stream(content: bytes, page: int) -> list[tuple]:
         elif not in_text:
             continue
         elif tok.startswith("("):
-            stack.append(("s", _unescape(tok[1:-1])))
+            s = _unescape(tok[1:-1])
+            stack.append(("s", _pdf_text(s.encode("latin-1", "replace"))))
         elif tok.startswith("<"):
             stack.append(("s", _unhex(tok[1:-1])))
         elif tok in ("[", "]"):

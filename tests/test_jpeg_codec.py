@@ -632,3 +632,63 @@ def test_cmyk_tier_ocr_exact():
             n_cmyk += 1
         assert decode_image(decode_media(buf)) == row["truth_text"]
     assert n_cmyk >= 3
+
+
+def test_png_16bit_gray_decode():
+    """Depth-16 grayscale PNGs collapse to the high byte (the 8-bit
+    pipeline's view, same convention as the TIFF codec) — plain,
+    filtered, and Adam7-interlaced layouts."""
+    import struct
+    import zlib
+
+    from ms_ocr_spark.extraction.ocr.png import (
+        _ADAM7,
+        _SIGNATURE,
+        _adam7_dims,
+        _chunk,
+        decode_gray as png_decode_gray,
+    )
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (21, 33), dtype=np.uint8)
+    wide = (img.astype(">u2") * 257).astype(">u2")
+    ihdr = struct.pack(">IIBBBBB", 33, 21, 16, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + wide[r].tobytes() for r in range(21))
+    b = (
+        _SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    assert np.array_equal(png_decode_gray(b), img)
+    # Up-filtered scanlines
+    raw2 = bytearray()
+    prev = np.zeros(66, dtype=np.int64)
+    for r in range(21):
+        line = np.frombuffer(wide[r].tobytes(), dtype=np.uint8).astype(np.int64)
+        raw2.append(2)
+        raw2.extend(((line - prev) & 0xFF).astype(np.uint8).tobytes())
+        prev = line
+    b2 = (
+        _SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw2)))
+        + _chunk(b"IEND", b"")
+    )
+    assert np.array_equal(png_decode_gray(b2), img)
+    # Adam7-interlaced 16-bit
+    raw3 = bytearray()
+    for (x0, y0, dx, dy), (pw, ph) in zip(_ADAM7, _adam7_dims(33, 21)):
+        if not pw or not ph:
+            continue
+        for r in range(ph):
+            raw3.append(0)
+            raw3.extend(wide[y0 + r * dy, x0::dx].tobytes())
+    ihdr3 = struct.pack(">IIBBBBB", 33, 21, 16, 0, 0, 0, 1)
+    b3 = (
+        _SIGNATURE
+        + _chunk(b"IHDR", ihdr3)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw3)))
+        + _chunk(b"IEND", b"")
+    )
+    assert np.array_equal(png_decode_gray(b3), img)

@@ -196,3 +196,28 @@ def test_pdf_hex_strings():
         (0, 30.0, 680.0, "AmixB"),
         (0, 30.0, 660.0, "P"),
     ]
+
+
+def test_pdf_utf16be_text_strings():
+    """UTF-16BE text strings (ISO 32000-1 7.9.2.2): a FEFF BOM in hex or
+    literal form selects UTF-16BE; plain strings stay byte-decoded."""
+    u = "Héllo✓".encode("utf-16-be").hex()
+    c = (
+        "BT /F1 10 Tf 1 0 0 1 30 700 Tm <FEFF%s> Tj "
+        "0 -20 Td (\\376\\377\\000A\\000B) Tj 0 -20 Td (plain) Tj ET" % u
+    ).encode()
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(c), c),
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    for i, body in enumerate(objs, 1):
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    out += b"trailer\n<< /Size 5 /Root 1 0 R >>\n%%EOF\n"
+    assert pdf_text_spans(bytes(out)) == [
+        (0, 30.0, 700.0, "Héllo✓"),
+        (0, 30.0, 680.0, "AB"),
+        (0, 30.0, 660.0, "plain"),
+    ]
