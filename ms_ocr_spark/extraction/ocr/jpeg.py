@@ -776,6 +776,7 @@ def encode_gray_jpeg_progressive(
     dpi: float | None = None,
     icc_name: str | None = None,
     exif_orientation: int | None = None,
+    restart_interval: int | None = None,
 ) -> bytes:
     """uint8 HxW array -> progressive (SOF2) JFIF bytes, 6-scan script:
 
@@ -789,12 +790,28 @@ def encode_gray_jpeg_progressive(
     Spectral selection AND successive approximation, so fixtures exercise
     every decoder path.  The scans carry the coefficients to full
     precision: the decoded image is bit-identical to decoding the same
-    image's baseline encoding (asserted by tests/test_jpeg_codec.py)."""
+    image's baseline encoding (asserted by tests/test_jpeg_codec.py).
+
+    `restart_interval` (round 6): every scan is chunked every Ri MCUs
+    (single-component, so Ri blocks) with RSTn markers between chunks —
+    per T.81 each chunk restarts byte-aligned with DC predictor and EOB
+    run reset, which the per-chunk encoder calls provide for free (each
+    produces a self-contained, flushed bit stream)."""
     if img.dtype != np.uint8 or img.ndim != 2:
         raise ValueError("encode_gray_jpeg_progressive expects a 2-D uint8 array")
     h, w = img.shape
     q = _FLAT_QUANT if quant is None else np.asarray(quant, dtype=np.int64).ravel()
     zz = _quantize_blocks(img, q)
+
+    def _chunked(enc) -> bytes:
+        if not restart_interval:
+            return enc(zz)
+        parts = []
+        for si, lo in enumerate(range(0, len(zz), restart_interval)):
+            if si:
+                parts.append(bytes([0xFF, 0xD0 + ((si - 1) % 8)]))
+            parts.append(enc(zz[lo : lo + restart_interval]))
+        return b"".join(parts)
 
     density = (1, round(dpi), round(dpi)) if dpi else (0, 1, 1)
     app0 = b"JFIF\x00\x01\x01" + struct.pack(">BHHBB", *density, 0, 0)
@@ -804,13 +821,18 @@ def encode_gray_jpeg_progressive(
         b"\x00" + bytes(_DC_BITS[1:]) + bytes(_DC_VALS)
         + b"\x11" + bytes(_PROG_AC_BITS[1:]) + bytes(_PROG_AC_VALS)
     )
+    dri = (
+        _seg(0xFFDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     scans = [
-        (_sos_payload(0, 0, 0, 1, 0, 0), _enc_dc_first(zz, 1)),
-        (_sos_payload(0, 0, 1, 0, 0, 0), _enc_dc_refine(zz, 0)),
-        (_sos_payload(1, 5, 0, 1, 0, 1), _enc_ac_first(zz, 1, 5, 1)),
-        (_sos_payload(6, 63, 0, 1, 0, 1), _enc_ac_first(zz, 6, 63, 1)),
-        (_sos_payload(1, 5, 1, 0, 0, 1), _enc_ac_refine(zz, 1, 5, 0)),
-        (_sos_payload(6, 63, 1, 0, 0, 1), _enc_ac_refine(zz, 6, 63, 0)),
+        (_sos_payload(0, 0, 0, 1, 0, 0), _chunked(lambda z: _enc_dc_first(z, 1))),
+        (_sos_payload(0, 0, 1, 0, 0, 0), _chunked(lambda z: _enc_dc_refine(z, 0))),
+        (_sos_payload(1, 5, 0, 1, 0, 1), _chunked(lambda z: _enc_ac_first(z, 1, 5, 1))),
+        (_sos_payload(6, 63, 0, 1, 0, 1), _chunked(lambda z: _enc_ac_first(z, 6, 63, 1))),
+        (_sos_payload(1, 5, 1, 0, 0, 1), _chunked(lambda z: _enc_ac_refine(z, 1, 5, 0))),
+        (_sos_payload(6, 63, 1, 0, 0, 1), _chunked(lambda z: _enc_ac_refine(z, 6, 63, 0))),
     ]
     body = b"".join(_seg(0xFFDA, hdr) + data for hdr, data in scans)
     return (
@@ -820,6 +842,7 @@ def encode_gray_jpeg_progressive(
         + _seg(0xFFDB, dqt)
         + _seg(0xFFC2, sof2)
         + _seg(0xFFC4, dht)
+        + dri
         + body
         + b"\xff\xd9"
     )
@@ -913,10 +936,18 @@ def _dec_ac_refine(
 def decode_gray_jpeg_progressive(data: bytes) -> np.ndarray:
     """Progressive (SOF2) grayscale JFIF bytes -> uint8 HxW array.
 
-    Accumulates coefficients scan by scan (T.81 §G.2): DC first/refine,
-    AC first with EOB runs, AC refine with correction bits — then one
-    IDCT at the end.  Tables are read from the stream; any conforming
-    single-component SOF2 stream without restart intervals decodes."""
+    Round 6: dispatches to the component-generic T.81 §G core
+    (`_decode_jpeg_planes`, proven bit-identical to the round-5
+    single-component decoder), which also carries restart-interval
+    (DRI/RSTn) support — every scan segment re-byte-aligns with DC
+    predictors and EOB runs reset.  The historical single-component
+    loop below remains as the reference implementation exercised by
+    `test_progressive_legacy_decoder_matches_core`."""
+    return _decode_jpeg_planes(data, expect_comps=1)[0]
+
+
+def _decode_gray_jpeg_progressive_legacy(data: bytes) -> np.ndarray:
+    """Round-5 single-component progressive decoder (no DRI)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
@@ -1060,10 +1091,8 @@ def jpeg_scope_reason(data: bytes) -> str | None:
         if marker == 0xDA:  # SOS
             if not saw_sof:
                 return "truncated_jpeg"
-            # restart intervals decode in the baseline path (round 5)
-            # but remain outside the progressive decoder's scope
-            if progressive and saw_dri:
-                return "unsupported_jpeg_layout"
+            # restart intervals decode in BOTH the baseline (round 5)
+            # and progressive (round 6) paths — no longer a scope gate
             return None
         if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                       0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -1405,6 +1434,7 @@ def encode_color_jpeg_progressive(
     dpi: float | None = None,
     icc_name: str | None = None,
     exif_orientation: int | None = None,
+    restart_interval: int | None = None,
 ) -> bytes:
     """uint8 HxWx3 RGB -> progressive (SOF2) YCbCr JFIF bytes, 8 scans:
 
@@ -1423,10 +1453,26 @@ def encode_color_jpeg_progressive(
     zz = [_quantize_blocks(p, qy) for p in planes]
     order = _mcu_block_order(factors, mcux, mcuy)
 
-    def _dc_first(al: int) -> bytes:
+    blocks_per_mcu = sum(fh * fv for fh, fv in factors)
+
+    def _rst_join(encode_chunk, items, per_mcu: int) -> bytes:
+        """Restart-interval chunking (round 6): Ri MCUs per segment,
+        RSTn between segments, each chunk a self-contained flushed bit
+        stream (DC predictors / EOB runs reset by construction)."""
+        if not restart_interval:
+            return encode_chunk(items)
+        step = restart_interval * per_mcu
+        parts = []
+        for si, lo in enumerate(range(0, len(items), step)):
+            if si:
+                parts.append(bytes([0xFF, 0xD0 + ((si - 1) % 8)]))
+            parts.append(encode_chunk(items[lo : lo + step]))
+        return b"".join(parts)
+
+    def _dc_first_chunk(chunk, al: int) -> bytes:
         bw = _BitWriter()
         prev = [0, 0, 0]
-        for ci, bi in order:
+        for ci, bi in chunk:
             v = int(zz[ci][bi, 0]) >> al
             size, code = _magnitude(v - prev[ci])
             prev[ci] = v
@@ -1436,11 +1482,17 @@ def encode_color_jpeg_progressive(
                 bw.write(code, size)
         return bw.flush()
 
-    def _dc_refine(al: int) -> bytes:
+    def _dc_first(al: int) -> bytes:
+        return _rst_join(lambda ch: _dc_first_chunk(ch, al), order, blocks_per_mcu)
+
+    def _dc_refine_chunk(chunk, al: int) -> bytes:
         bw = _BitWriter()
-        for ci, bi in order:
+        for ci, bi in chunk:
             bw.write((int(zz[ci][bi, 0]) >> al) & 1, 1)
         return bw.flush()
+
+    def _dc_refine(al: int) -> bytes:
+        return _rst_join(lambda ch: _dc_refine_chunk(ch, al), order, blocks_per_mcu)
 
     def _sos_multi(ah: int, al: int) -> bytes:
         return (
@@ -1458,20 +1510,32 @@ def encode_color_jpeg_progressive(
     ]
     for ci in range(3):
         sub = zz[ci][_inrange_idx(ci, factors, mcux, mcuy, h, w)]
-        scans.append((_sos_one(ci + 1, 1, 63, 0, 1), _enc_ac_first(sub, 1, 63, 1)))
+        scans.append((
+            _sos_one(ci + 1, 1, 63, 0, 1),
+            _rst_join(lambda ch: _enc_ac_first(ch, 1, 63, 1), sub, 1),
+        ))
     for ci in range(3):
         sub = zz[ci][_inrange_idx(ci, factors, mcux, mcuy, h, w)]
-        scans.append((_sos_one(ci + 1, 1, 63, 1, 0), _enc_ac_refine(sub, 1, 63, 0)))
+        scans.append((
+            _sos_one(ci + 1, 1, 63, 1, 0),
+            _rst_join(lambda ch: _enc_ac_refine(ch, 1, 63, 0), sub, 1),
+        ))
 
     dht = (
         b"\x00" + bytes(_DC_BITS[1:]) + bytes(_DC_VALS)
         + b"\x11" + bytes(_PROG_AC_BITS[1:]) + bytes(_PROG_AC_VALS)
+    )
+    dri = (
+        _seg(0xFFDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
     )
     body = b"".join(_seg(0xFFDA, hdr) + data for hdr, data in scans)
     return (
         _color_frame_segments(
             h, w, factors, qy, qy, 0xFFC2, dht, dpi, icc_name, exif_orientation
         )
+        + dri
         + body
         + b"\xff\xd9"
     )
@@ -1608,8 +1672,6 @@ def _decode_jpeg_planes(data: bytes, expect_comps: int) -> list[np.ndarray]:
                     mcux, mcuy, h, w, restart_interval,
                 )
             elif ss == 0:  # progressive DC scan (interleaved or not)
-                if restart_interval:
-                    raise ValueError("progressive restart intervals unsupported")
                 order = (
                     _mcu_block_order(
                         [factors[ci] for ci, _, _ in scan_comps], mcux, mcuy
@@ -1622,34 +1684,64 @@ def _decode_jpeg_planes(data: bytes, expect_comps: int) -> list[np.ndarray]:
                         )
                     ]
                 )
-                br = _BitReader(entropy)
-                if ah == 0:
-                    prev = [0] * ns
-                    for oc, bi in order:
-                        ci, td, _ = scan_comps[oc]
-                        size = _read_huff(br, huff[(0, td)])
-                        prev[oc] += _extend(br.read_bits(size), size)
-                        zz[ci][bi, 0] = prev[oc] << al
+                # restart intervals (round 6): Ri MCUs per segment; each
+                # RSTn re-byte-aligns and resets every DC predictor
+                if restart_interval:
+                    bpm = (
+                        sum(factors[ci][0] * factors[ci][1] for ci, _, _ in scan_comps)
+                        if ns > 1
+                        else 1
+                    )
+                    step = restart_interval * bpm
+                    segs = _split_restart_segments(entropy)
+                    chunks = [
+                        order[lo : lo + step] for lo in range(0, len(order), step)
+                    ]
+                    if len(segs) != len(chunks):
+                        raise ValueError("restart segment count mismatch")
                 else:
-                    p1 = 1 << al
-                    for oc, bi in order:
-                        ci = scan_comps[oc][0]
-                        if br.read_bit():
-                            zz[ci][bi, 0] |= p1
+                    segs, chunks = [entropy], [order]
+                for seg, chunk in zip(segs, chunks):
+                    br = _BitReader(seg)
+                    if ah == 0:
+                        prev = [0] * ns
+                        for oc, bi in chunk:
+                            ci, td, _ = scan_comps[oc]
+                            size = _read_huff(br, huff[(0, td)])
+                            prev[oc] += _extend(br.read_bits(size), size)
+                            zz[ci][bi, 0] = prev[oc] << al
+                    else:
+                        p1 = 1 << al
+                        for oc, bi in chunk:
+                            ci = scan_comps[oc][0]
+                            if br.read_bit():
+                                zz[ci][bi, 0] |= p1
             else:  # progressive AC scan: non-interleaved by spec
                 if ns != 1:
                     raise ValueError("interleaved AC scan is not valid T.81")
-                if restart_interval:
-                    raise ValueError("progressive restart intervals unsupported")
                 ci, _, ta = scan_comps[0]
                 idx = _inrange_idx(ci, factors, mcux, mcuy, h, w)
-                sub = zz[ci][idx]
-                br = _BitReader(entropy)
-                if ah == 0:
-                    _dec_ac_first(sub, br, huff[(1, ta)], ss, se, al)
+                # restart intervals (round 6): a non-interleaved scan's
+                # MCU is one block, so segments cover Ri blocks; EOB runs
+                # cannot span a restart (fresh decoder state per segment)
+                if restart_interval:
+                    segs = _split_restart_segments(entropy)
+                    chunks = [
+                        idx[lo : lo + restart_interval]
+                        for lo in range(0, len(idx), restart_interval)
+                    ]
+                    if len(segs) != len(chunks):
+                        raise ValueError("restart segment count mismatch")
                 else:
-                    _dec_ac_refine(sub, br, huff[(1, ta)], ss, se, al)
-                zz[ci][idx] = sub
+                    segs, chunks = [entropy], [idx]
+                for seg, sub_idx in zip(segs, chunks):
+                    sub = zz[ci][sub_idx]
+                    br = _BitReader(seg)
+                    if ah == 0:
+                        _dec_ac_first(sub, br, huff[(1, ta)], ss, se, al)
+                    else:
+                        _dec_ac_refine(sub, br, huff[(1, ta)], ss, se, al)
+                    zz[ci][sub_idx] = sub
     if not comps or h is None:
         raise ValueError("missing SOF/SOS")
     hmax = max(f[0] for f in factors)

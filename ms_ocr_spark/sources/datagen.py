@@ -672,15 +672,15 @@ def _gen_chunk(args: tuple) -> tuple[list, list, list, list, list]:
                         if is_prog_jpeg
                         else encode_gray_jpeg
                     )
-                    ekw = {}
-                    if not is_prog_jpeg:
-                        # baseline variants rotate restart intervals
-                        # (round 5: DRI/RSTn decode — camera JPEGs use
-                        # restarts routinely; interval does not change
-                        # the decoded pixels, so the golden is shared)
-                        ekw["restart_interval"] = (None, 4, 11)[
+                    # BOTH frame types rotate restart intervals
+                    # (round 5 baseline, round 6 progressive — camera
+                    # JPEGs use restarts routinely; the interval does
+                    # not change decoded pixels, so goldens are shared)
+                    ekw = {
+                        "restart_interval": (None, 4, 11)[
                             _h(seed, "jpegri", i, off) % 3
                         ]
+                    }
                     payload = enc(
                         img,
                         dpi=side["dpi"],
@@ -932,8 +932,10 @@ def write_corpus(out_dir: str, n_docs: int, seed: int = 42, **kw) -> dict[str, s
     # fmt 15: rgb tier rotates palette (ctype 3) PNGs; color-JPEG tier
     #         adds 4:2:2 variants (baseline + progressive)
     # fmt 16: color tier adds Adobe APP14 CMYK (4-component) variant
+    # fmt 17: progressive tiers rotate restart intervals too (DRI now
+    #         decodes in SOF2 frames)
     params = {
-        "fmt": 16,
+        "fmt": 17,
         "n_docs": n_docs,
         "seed": seed,
         **{k: kw[k] for k in sorted(kw) if k != "processes"},

@@ -284,18 +284,51 @@ def test_restart_interval_missing_segment_raises():
         decode_gray_jpeg(b[:i] + b[i + 2 :][:-50])
 
 
-def test_dri_scope_baseline_ok_progressive_unsupported():
-    """DRI is in scope for baseline (decodes), out of scope for the
-    progressive decoder — the probe reason reflects both."""
-    img = np.full((24, 24), 128, dtype=np.uint8)
+def test_dri_in_scope_for_baseline_and_progressive():
+    """Round 6: DRI decodes in BOTH frame types.  A stream that DECLARES
+    an interval but carries no RSTn markers is malformed per T.81
+    (markers SHALL appear every Ri MCUs) and still raises."""
+    img = np.random.default_rng(5).integers(0, 256, (40, 48), dtype=np.uint8)
+    base = decode_gray_jpeg(encode_gray_jpeg(img))
     assert jpeg_scope_reason(encode_gray_jpeg(img, restart_interval=4)) is None
+    for ri in (1, 4, 11):
+        pb = encode_gray_jpeg_progressive(img, restart_interval=ri)
+        assert jpeg_scope_reason(pb) is None
+        assert is_progressive_jpeg(pb)
+        assert np.array_equal(decode_gray_jpeg(pb), base), ri
+    # declared-but-absent restarts: malformed, quarantined at decode
     pb = encode_gray_jpeg_progressive(img)
     i = pb.find(b"\xff\xda")
-    # splice a DRI segment (marker + len 4 + interval 4) before the SOS
     with_dri = pb[:i] + b"\xff\xdd\x00\x04\x00\x04" + pb[i:]
-    assert jpeg_scope_reason(with_dri) == "unsupported_jpeg_layout"
     with pytest.raises(ValueError):
         decode_gray_jpeg(with_dri)
+
+
+def test_progressive_legacy_decoder_matches_core():
+    """The retained round-5 single-component progressive decoder and the
+    generic multi-component core agree bit-for-bit (the core is the
+    dispatch target since round 6)."""
+    from ms_ocr_spark.extraction.ocr.jpeg import (
+        _decode_gray_jpeg_progressive_legacy,
+    )
+
+    for img in _image_zoo():
+        pb = encode_gray_jpeg_progressive(img)
+        assert np.array_equal(
+            _decode_gray_jpeg_progressive_legacy(pb), decode_gray_jpeg(pb)
+        )
+
+
+def test_color_progressive_restart_intervals():
+    """Interleaved-DC and per-component-AC restart chunking: DRI color
+    progressive decodes bit-identically to the no-DRI encoding."""
+    rgb = _color_zoo()[1]
+    for samp in ("444", "420"):
+        base = decode_jpeg_rgb(encode_color_jpeg_progressive(rgb, samp))
+        for ri in (1, 3):
+            b = encode_color_jpeg_progressive(rgb, samp, restart_interval=ri)
+            assert jpeg_scope_reason(b) is None
+            assert np.array_equal(decode_jpeg_rgb(b), base), (samp, ri)
 
 
 # ------------------------------------------------------------------- color
