@@ -1113,11 +1113,12 @@ def jpeg_scope_reason(data: bytes) -> str | None:
             if n_comp not in (1, 3, 4) or prec != 8:
                 return "unsupported_jpeg_layout"
             if n_comp == 4 and (
-                adobe_app14_transform(data) != 0 or marker == 0xC2
+                adobe_app14_transform(data) not in (0, 2)
+                or marker == 0xC2
             ):
-                # 4-component needs the Adobe APP14 CMYK tag (transform
-                # 0); YCCK (2), untagged 4-comp, and progressive CMYK
-                # stay out of scope
+                # 4-component needs the Adobe APP14 tag with transform 0
+                # (CMYK) or 2 (YCCK, round 6); untagged 4-comp and
+                # progressive CMYK stay out of scope
                 return "unsupported_jpeg_layout"
             if len(payload) < 6 + 3 * n_comp:
                 return "truncated_jpeg"
@@ -1909,8 +1910,23 @@ def encode_cmyk_jpeg(
     """uint8 HxWx3 RGB -> 4-component CMYK baseline JFIF-less JPEG with
     the Adobe APP14 marker (transform 0), samples stored INVERTED per
     the Adobe convention, all components 1x1 (no subsampling)."""
-    h, w = rgb.shape[:2]
     planes = [255 - p for p in rgb_to_cmyk(rgb)]  # Adobe inversion
+    return _encode_4comp(
+        planes, rgb.shape[0], rgb.shape[1], 0, dpi, icc_name, exif_orientation
+    )
+
+
+def _encode_4comp(
+    planes: list[np.ndarray],
+    h: int,
+    w: int,
+    transform: int,
+    dpi: float | None,
+    icc_name: str | None,
+    exif_orientation: int | None,
+) -> bytes:
+    """Shared 4-component baseline framing (SOF0, one interleaved scan,
+    Adobe APP14 with the given transform byte, all factors 1x1)."""
     q = _FLAT_QUANT
     zz = [_quantize_blocks(p, q) for p in planes]
     factors = [(1, 1)] * 4
@@ -1929,7 +1945,7 @@ def encode_cmyk_jpeg(
     sof = struct.pack(">BHHB", 8, h, w, 4) + b"".join(
         bytes([cid, 0x11, 0]) for cid in (1, 2, 3, 4)
     )
-    app14 = b"Adobe" + struct.pack(">HHHB", 100, 0, 0, 0)  # transform 0
+    app14 = b"Adobe" + struct.pack(">HHHB", 100, 0, 0, transform)
     sos = b"\x04" + bytes(v for cid in (1, 2, 3, 4) for v in (cid, 0x00)) + b"\x00\x3f\x00"
     density = (1, round(dpi), round(dpi)) if dpi else (0, 1, 1)
     app0 = b"JFIF\x00\x01\x01" + struct.pack(">BHHBB", *density, 0, 0)
@@ -1947,11 +1963,45 @@ def encode_cmyk_jpeg(
     )
 
 
+def encode_ycck_jpeg(
+    rgb: np.ndarray,
+    dpi: float | None = None,
+    icc_name: str | None = None,
+    exif_orientation: int | None = None,
+) -> bytes:
+    """uint8 HxWx3 RGB -> 4-component YCCK baseline JPEG (Adobe APP14
+    transform 2): the inverted CMY channels (which ARE RGB-like values)
+    pass through the standard YCbCr transform, K stays scalar — exactly
+    how Adobe writers produce YCCK.  All components 1x1."""
+    planes4 = rgb_to_cmyk(rgb)
+    inv_rgbish = np.stack([255 - p for p in planes4[:3]], axis=2)
+    y, cb, cr = rgb_to_ycbcr(inv_rgbish)
+    stored = [
+        np.clip(np.rint(p), 0, 255).astype(np.uint8) for p in (y, cb, cr)
+    ] + [255 - planes4[3]]
+    return _encode_4comp(stored, rgb.shape[0], rgb.shape[1], 2,
+                         dpi, icc_name, exif_orientation)
+
+
 def decode_cmyk_jpeg_rgb(data: bytes) -> np.ndarray:
-    """4-component Adobe-CMYK JPEG -> uint8 HxWx3 RGB (inversion undone,
-    CMYK composited)."""
-    if adobe_app14_transform(data) != 0:
-        raise ValueError("4-component JPEG without Adobe APP14 transform 0")
+    """4-component Adobe JPEG -> uint8 HxWx3 RGB.  Transform 0 (plain
+    CMYK, samples inverted) and transform 2 (YCCK, round 6: the CMY
+    channels ride the YCbCr transform) both decode; anything else
+    raises."""
+    tr = adobe_app14_transform(data)
+    if tr not in (0, 2):
+        raise ValueError("4-component JPEG without Adobe APP14 transform 0/2")
     planes = _decode_jpeg_planes(data, expect_comps=4)
+    if tr == 2:
+        inv_rgbish = ycbcr_to_rgb(
+            planes[0].astype(np.float64),
+            planes[1].astype(np.float64),
+            planes[2].astype(np.float64),
+        )
+        c = 255 - inv_rgbish[:, :, 0]
+        m = 255 - inv_rgbish[:, :, 1]
+        y = 255 - inv_rgbish[:, :, 2]
+        k = 255 - planes[3]
+        return cmyk_to_rgb(c, m, y, k)
     c, m, y, k = [255 - p for p in planes]  # undo the Adobe inversion
     return cmyk_to_rgb(c, m, y, k)

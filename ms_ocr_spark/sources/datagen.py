@@ -721,6 +721,7 @@ def _gen_chunk(args: tuple) -> tuple[list, list, list, list, list]:
                         encode_cmyk_jpeg,
                         encode_color_jpeg,
                         encode_color_jpeg_progressive,
+                        encode_ycck_jpeg,
                     )
 
                     hc = _h(seed, "cjpegvar", i, off)
@@ -734,7 +735,7 @@ def _gen_chunk(args: tuple) -> tuple[list, list, list, list, list]:
                         icc_name=side["icc"][0] if side["icc"] else None,
                         exif_orientation=side["orientation"],
                     )
-                    variant = hc % 8
+                    variant = hc % 9
                     if variant == 0:
                         payload = encode_color_jpeg(rgb, "444", **ckw)
                     elif variant == 1:
@@ -751,9 +752,12 @@ def _gen_chunk(args: tuple) -> tuple[list, list, list, list, list]:
                         payload = encode_color_jpeg(rgb, "422", **ckw)
                     elif variant == 6:
                         payload = encode_color_jpeg_progressive(rgb, "422", **ckw)
-                    else:
+                    elif variant == 7:
                         # 4-component Adobe CMYK (print-workflow JPEGs)
                         payload = encode_cmyk_jpeg(rgb, **ckw)
+                    else:
+                        # 4-component Adobe YCCK (transform 2)
+                        payload = encode_ycck_jpeg(rgb, **ckw)
                     dec = _dec_jpg(payload)
                     meta_rows.append(
                         {
@@ -934,8 +938,9 @@ def write_corpus(out_dir: str, n_docs: int, seed: int = 42, **kw) -> dict[str, s
     # fmt 16: color tier adds Adobe APP14 CMYK (4-component) variant
     # fmt 17: progressive tiers rotate restart intervals too (DRI now
     #         decodes in SOF2 frames)
+    # fmt 18: color tier adds YCCK (Adobe transform 2) variant
     params = {
-        "fmt": 17,
+        "fmt": 18,
         "n_docs": n_docs,
         "seed": seed,
         **{k: kw[k] for k in sorted(kw) if k != "processes"},

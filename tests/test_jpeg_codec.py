@@ -631,19 +631,46 @@ def test_cmyk_adobe_round_trip():
     }
 
 
-def test_cmyk_untagged_and_yck_quarantine():
-    """4-component frames WITHOUT Adobe APP14 transform 0 (untagged or
-    YCCK) stay out of scope — scope probe says so and decode raises."""
+def test_ycck_round_trip():
+    """YCCK (Adobe transform 2, round 6): the inverted CMY channels ride
+    the standard YCbCr transform with K scalar; decode composites back
+    within rounding of the CMYK-model roundtrip."""
+    from ms_ocr_spark.extraction.ocr.jpeg import (
+        adobe_app14_transform,
+        cmyk_to_rgb,
+        decode_cmyk_jpeg_rgb,
+        encode_ycck_jpeg,
+        rgb_to_cmyk,
+    )
+    from ms_ocr_spark.extraction.ocr.png import rgb_to_gray
+
+    for rgb in _color_zoo()[1:3]:
+        b = encode_ycck_jpeg(rgb)
+        assert adobe_app14_transform(b) == 2
+        assert jpeg_scope_reason(b) is None
+        ideal = cmyk_to_rgb(*rgb_to_cmyk(rgb))
+        err = np.abs(
+            decode_cmyk_jpeg_rgb(b).astype(int) - ideal.astype(int)
+        ).max()
+        assert err <= 6, err
+        g = decode_gray_jpeg(b)
+        gerr = np.abs(g.astype(int) - rgb_to_gray(rgb).astype(int)).max()
+        assert gerr <= 6, gerr
+
+
+def test_cmyk_untagged_and_unknown_transform_quarantine():
+    """4-component frames with an unknown transform byte or no Adobe
+    APP14 at all stay out of scope — probe says so and decode raises."""
     from ms_ocr_spark.extraction.ocr.jpeg import encode_cmyk_jpeg
 
     rgb = np.full((16, 16, 3), 150, np.uint8)
     b = encode_cmyk_jpeg(rgb)
     i = b.find(b"Adobe")
-    # corrupt the transform byte to 2 (YCCK)
-    yck = b[: i + 11] + b"\x02" + b[i + 12 :]
-    assert jpeg_scope_reason(yck) == "unsupported_jpeg_layout"
+    # corrupt the transform byte to 1 (YCbCr — invalid for 4 components)
+    bad = b[: i + 11] + b"\x01" + b[i + 12 :]
+    assert jpeg_scope_reason(bad) == "unsupported_jpeg_layout"
     with pytest.raises(ValueError):
-        decode_gray_jpeg(yck)
+        decode_gray_jpeg(bad)
     # strip the APP14 segment entirely -> untagged 4-comp
     j = b.find(b"\xff\xee")
     import struct as _s
