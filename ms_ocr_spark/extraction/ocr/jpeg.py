@@ -1058,19 +1058,18 @@ def jpeg_scope_reason(data: bytes) -> str | None:
       * `truncated_jpeg`           — SOI present but the marker walk hits
                                      EOI/end-of-data before a scan
       * `unsupported_jpeg_layout`  — component counts other than
-                                     1/3/4, 4-component without Adobe
-                                     APP14 transform 0 (YCCK/untagged)
-                                     or progressive, sampling factors
-                                     above 2,
-                                     non-8-bit precision, arithmetic
-                                     coding, lossless/differential/
-                                     hierarchical frame types,
-                                     progressive restart intervals
+                                     1/3/4; 4-component frames that are
+                                     untagged, carry an Adobe APP14
+                                     transform other than 0/2, or are
+                                     progressive; sampling factors
+                                     above 2; non-8-bit precision;
+                                     arithmetic coding; lossless/
+                                     differential/hierarchical frames
 
-    Round 6 shrinks the class again: 3-component (YCbCr color) baseline
-    AND progressive frames now DECODE; what remains is the genuinely
-    exotic tail (VERDICT r5 item 1 'quarantine class shrunk to
-    arithmetic/lossless only')."""
+    Final round-6 scope: 3-component (YCbCr) baseline AND progressive
+    decode, baseline 4-component CMYK (transform 0) and YCCK (transform
+    2) decode, progressive restart intervals decode; what remains is
+    the genuinely exotic tail listed above."""
     if data[:2] != b"\xff\xd8":
         return "truncated_jpeg"
     pos = 2
@@ -1231,9 +1230,12 @@ def jpeg_side_values(data: bytes) -> dict:
 #     path, so golden metadata measured on BT.601 luminance is shared.
 #
 # Scope after this section: 1- or 3-component, 8-bit, baseline OR
-# progressive, sampling factors {1,2}; DRI supported for baseline only.
-# Still out: 4-component (CMYK), arithmetic coding, lossless/
-# hierarchical frames, 12-bit — `jpeg_scope_reason` classifies those.
+# progressive, sampling factors {1,2}; DRI supported for baseline AND
+# progressive (final round-6 scope).  4-component CMYK/YCCK baseline
+# decodes via the later Adobe APP14 section.  Still out: arithmetic
+# coding, lossless/hierarchical frames, 12-bit, sampling factors > 2,
+# untagged/unknown-transform/progressive 4-component —
+# `jpeg_scope_reason` classifies those.
 # ---------------------------------------------------------------------------
 
 
@@ -1845,8 +1847,10 @@ def encode_lossless_stub(h: int = 32, w: int = 64) -> bytes:
 # the RGB conversion.  The T.81 machinery here is component-generic, so
 # this section is only: RGB<->CMYK converters, the APP14 probe, a
 # 4-component baseline encoder (4:4:4), and the gray dispatch.  Scope:
-# baseline only, transform 0 (plain CMYK; YCCK transform 2 stays out —
-# `jpeg_scope_reason` classifies it).
+# baseline only, Adobe transforms 0 (plain CMYK) AND 2 (YCCK — the
+# inverted CMY channels ride the standard YCbCr transform with K
+# scalar, final round-6 commit); untagged or unknown-transform
+# 4-component frames stay out — `jpeg_scope_reason` classifies them.
 # ---------------------------------------------------------------------------
 
 
@@ -1883,10 +1887,16 @@ def cmyk_to_rgb(c, m, y, k) -> np.ndarray:
 
 def adobe_app14_transform(data: bytes) -> int | None:
     """Color-transform byte of the Adobe APP14 segment (0=CMYK/RGB,
-    1=YCbCr, 2=YCCK), or None when absent — header marker walk only."""
+    1=YCbCr, 2=YCCK), or None when absent — header marker walk only.
+    Skips 0xFF fill bytes before each marker (T.81 B.1.1.2), same as
+    `_jpeg_frame_components` (ADVICE r6)."""
     pos = 2
     n = len(data)
     while pos + 4 <= n and data[pos] == 0xFF:
+        while pos + 4 <= n and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > n:
+            return None
         marker = data[pos + 1]
         if marker in (0xD9, 0xDA):
             return None

@@ -279,7 +279,9 @@ def _unescape(s: str) -> str:
                 j = i + 1
                 while j < min(i + 4, len(s)) and s[j].isdigit():
                     j += 1
-                out.append(chr(int(s[i + 1 : j], 8)))
+                # ISO 32000-1 7.3.4.2: high-order overflow is ignored —
+                # the character code is the octal value mod 256 (ADVICE r6)
+                out.append(chr(int(s[i + 1 : j], 8) & 0xFF))
                 i = j
                 continue
             if nxt in "\r\n":  # line continuation: drop backslash + EOL

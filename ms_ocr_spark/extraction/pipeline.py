@@ -283,16 +283,18 @@ def quarantine_invalid_media(docs: DataFrame, media: DataFrame) -> DataFrame:
 
     `reason` values: `missing` (no payload row), `invalid` (magic-byte /
     size rejection), `truncated_jpeg` (JPEG whose marker walk ends
-    before a scan), `unsupported_jpeg_layout` (CMYK/arithmetic/
-    lossless/12-bit frames, sampling factors above 2, progressive
-    restart intervals) and
-    `unsupported_tiff_layout` (tiled, multi-sample, exotic compression)
-    — all quarantined BY DESIGN by the codecs; the distinct reasons let
-    a corpus operator see the decode-scope cost (VERDICT r3 item 7).
-    Progressive (SOF2) JPEGs DECODE since round 5 and 3-component
-    (YCbCr color) JPEGs since round 6, so neither appears here
-    (VERDICT r4 item 1, r5 item 1).  All probes are header-only sniffs,
-    never pixel decodes."""
+    before a scan), `unsupported_jpeg_layout` (arithmetic / lossless /
+    hierarchical coding, 12-bit precision, sampling factors above 2,
+    and 4-component frames that are untagged, carry an unknown Adobe
+    transform, or are progressive) and `unsupported_tiff_layout`
+    (exotic compression / photometric) — all quarantined BY DESIGN by
+    the codecs; the distinct reasons let a corpus operator see the
+    decode-scope cost (VERDICT r3 item 7).  Progressive (SOF2) JPEGs
+    decode since round 5, 3-component YCbCr color since round 6,
+    baseline 4-component CMYK/YCCK (Adobe APP14 transform 0/2) and
+    progressive restart intervals since round 6 as well, so none of
+    those appear here.  All probes are header-only sniffs, never pixel
+    decodes."""
     from ms_ocr_spark.operators.multimodal import mime_col, valid_payload_col
 
     flat = explode_spans(docs).filter(F.col("kind") == "media")

@@ -1445,16 +1445,22 @@ def pdf_modern_bytes(
     _emit(7, objstm)
     _emit(8, str(len(s1)).encode())
 
-    # ---- xref STREAM (obj 9): W [1 2 1], Predictor 12 (Up), objects 0-9
-    def _xref_rows(entries: list[tuple[int, int, int]]) -> bytes:
+    # ---- xref STREAM (obj 9): W [1 w1 1], Predictor 12 (Up), objects
+    # 0-9.  The middle (offset) field width is computed from the largest
+    # value so PDFs beyond 64 KiB pack correctly instead of raising
+    # OverflowError (ADVICE r6).
+    def _xref_field_w(entries: list[tuple[int, int, int]]) -> int:
+        return max(2, (max(v for _, v, _ in entries).bit_length() + 7) // 8)
+
+    def _xref_rows(entries: list[tuple[int, int, int]], w1: int) -> bytes:
         rows = b"".join(
-            bytes([t]) + v.to_bytes(2, "big") + bytes([x]) for t, v, x in entries
+            bytes([t]) + v.to_bytes(w1, "big") + bytes([x]) for t, v, x in entries
         )
-        # PNG Up filter, columns = 4
-        cols, row_w = 4, 4
+        # PNG Up filter, columns = full row width
+        cols = 1 + w1 + 1
         filtered, prev = bytearray(), bytes(cols)
-        for r in range(0, len(rows), row_w):
-            row = rows[r : r + row_w]
+        for r in range(0, len(rows), cols):
+            row = rows[r : r + cols]
             filtered.append(2)
             filtered.extend((row[i] - prev[i]) & 0xFF for i in range(cols))
             prev = row
@@ -1468,10 +1474,11 @@ def pdf_modern_bytes(
         (1, offsets[7], 0), (1, offsets[8], 0),
         (1, xref_at, 0),    # 9: this xref stream
     ]
-    xdata = _xref_rows(entries)
+    w1 = _xref_field_w(entries)
+    xdata = _xref_rows(entries, w1)
     _emit(9, (
-        "<< /Type /XRef /Size 10 /W [1 2 1] /Index [0 10] "
-        "/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 4 >> "
+        f"<< /Type /XRef /Size 10 /W [1 {w1} 1] /Index [0 10] "
+        f"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns {1 + w1 + 1} >> "
         f"/Root 1 0 R /Length {len(xdata)} >>\nstream\n"
     ).encode() + xdata + b"\nendstream")
     out.extend(f"startxref\n{xref_at}\n%%EOF\n".encode())
@@ -1488,10 +1495,11 @@ def pdf_modern_bytes(
     )
     xref2_at = len(out)
     entries2 = [(1, offsets[5], 0), (1, xref2_at, 0)]
-    xdata2 = _xref_rows(entries2)
+    w2 = _xref_field_w(entries2)
+    xdata2 = _xref_rows(entries2, w2)
     out.extend(f"10 0 obj\n".encode() + (
-        "<< /Type /XRef /Size 11 /W [1 2 1] /Index [5 1 10 1] "
-        "/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 4 >> "
+        f"<< /Type /XRef /Size 11 /W [1 {w2} 1] /Index [5 1 10 1] "
+        f"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns {1 + w2 + 1} >> "
         f"/Root 1 0 R /Prev {xref_at} /Length {len(xdata2)} >>\nstream\n"
     ).encode() + xdata2 + b"\nendstream\nendobj\n")
     out.extend(f"startxref\n{xref2_at}\n%%EOF\n".encode())

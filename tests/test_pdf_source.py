@@ -221,3 +221,42 @@ def test_pdf_utf16be_text_strings():
         (0, 30.0, 680.0, "AB"),
         (0, 30.0, 660.0, "plain"),
     ]
+
+
+def test_pdf_octal_overflow_masks_mod_256():
+    """ISO 32000-1 7.3.4.2: octal escapes above \\377 ignore the
+    high-order overflow — \\501 is code 0x41 'A' (ADVICE r6)."""
+    from ms_ocr_spark.extraction.pdf import _unescape
+
+    assert _unescape("\\501") == "A"        # 0o501 = 321 -> 321 & 0xFF = 65
+    assert _unescape("\\101") == "A"
+    assert _unescape("\\377") == "\xff"
+    assert _unescape("a\\7771z") == "a\xff1z"  # 3-digit max, then literal
+
+
+def test_pdf_modern_bytes_large_offsets():
+    """datagen xref-stream field widths widen past 64 KiB instead of
+    raising OverflowError (ADVICE r6): pad the content past 0x10000 and
+    require the parse to still resolve the xref chain exactly."""
+    from ms_ocr_spark.sources.datagen import pdf_modern_bytes, pdf_modern_golden
+
+    boxes = [
+        {"x1": 10 + 30 * i, "y1": 20, "x2": 38 + 30 * i, "y2": 32, "text": f"B{i}"}
+        for i in range(4)
+    ]
+    import numpy as _np
+
+    rng = _np.random.default_rng(99)
+    alphabet = _np.array(list("ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"))
+    column = [
+        {"text": f"ROW {i} " + "".join(rng.choice(alphabet, 700))}
+        for i in range(120)
+    ]
+    buf = pdf_modern_bytes(boxes, column)
+    assert len(buf) > 0x10000
+    got = pdf_text_spans(buf)
+    exp = [
+        (g["page"], g["x"], g["y"], g["text"])
+        for g in pdf_modern_golden(boxes, column)
+    ]
+    assert got == exp
