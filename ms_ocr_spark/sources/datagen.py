@@ -324,34 +324,119 @@ def colorize(img: np.ndarray, ink: tuple, bg: tuple) -> np.ndarray:
     ).astype(np.uint8)
 
 
+def tint_exact_luminance(
+    img: np.ndarray, dr: int = 20, db: int = -20
+) -> np.ndarray:
+    """Gray HxW -> HxWx3 whose BT.601 luminance rounds back to EXACTLY
+    the source value per pixel (round 7, the RGB-TIFF tier): r and b
+    ride fixed offsets, g solves the luminance equation — |lum - v| <=
+    0.587 * 0.5 < 0.5 so rint(lum) == v wherever g stays in range;
+    pixels where channel clipping breaks the identity fall back to
+    neutral gray (r=g=b=v).  Lossless in luminance, so RGB variants
+    share the gray tier's goldens."""
+    from ms_ocr_spark.extraction.ocr.png import rgb_to_gray
+
+    v = img.astype(np.float64)
+    r = np.clip(v + dr, 0, 255)
+    b = np.clip(v + db, 0, 255)
+    g = np.clip(np.rint((v - 0.299 * r - 0.114 * b) / 0.587), 0, 255)
+    rgb = np.stack([r, g, b], axis=2).astype(np.uint8)
+    bad = rgb_to_gray(rgb) != img
+    if bad.any():
+        rgb = np.where(
+            bad[:, :, None], np.repeat(img[:, :, None], 3, axis=2), rgb
+        )
+    return rgb
+
+
+def _alpha_invert(out: np.ndarray, alpha: int) -> np.ndarray:
+    """Exact pre-composite channels for a constant-alpha PNG: the
+    decoder's composite-over-white (`png._composite_white`) reproduces
+    `out` BIT-EXACTLY — pre = rint((out - floor) * 255/alpha) gives
+    |pre*alpha/255 - (out - floor)| <= alpha/510 < 0.5, so the forward
+    rint lands back on `out`.  Requires every channel >= floor =
+    255 - alpha (callers lift their ink colors to the floor first)."""
+    floor = 255 - alpha
+    if int(out.min(initial=255)) < floor:
+        raise ValueError("channel below the alpha floor")
+    return np.rint((out.astype(np.float64) - floor) * 255.0 / alpha).astype(
+        np.uint8
+    )
+
+
 def rgb_payload_and_meta(seed: int, ref: str, img: np.ndarray) -> tuple[bytes, dict]:
     """Color-PNG payload + golden metadata measured on the BT.601
     luminance (what a correct decode-then-measure engine sees).  Round 6:
     ~1 in 3 rotates to the PALETTE layout (color type 3) — the palette is
     the colorize ramp, so indices ARE the gray values and the decoded
-    luminance (hence the golden) is identical to the truecolor variant."""
-    from ms_ocr_spark.extraction.ocr.png import encode_palette, encode_rgb, rgb_to_gray
+    luminance (hence the golden) is identical to the truecolor variant.
+
+    Round 7 (VERDICT r6 item 5) rotates ALPHA layouts: ~1/4 RGBA (color
+    type 6), ~1/4 gray+alpha (color type 4), and half the palette
+    variants carry a tRNS alpha table.  All alpha variants use one
+    constant alpha per image with channels pre-divided via
+    `_alpha_invert`, so the decoder's composite-over-white reproduces
+    the intended surface bit-exactly; ink colors are lifted to the
+    255-alpha floor, which keeps the composited luminance anchored to
+    the gray value (colorize is luminance-preserving) and the decode
+    margins identical to the gray tiers."""
+    from ms_ocr_spark.extraction.ocr.png import (
+        encode_gray_alpha,
+        encode_palette,
+        encode_rgb,
+        encode_rgba,
+        rgb_to_gray,
+    )
 
     h = _h(seed, "rgbc", ref)
     ink = _RGB_INKS[h % len(_RGB_INKS)]
     bg = _RGB_BGS[(h >> 4) % len(_RGB_BGS)]
+
+    def _meta(lum: np.ndarray) -> dict:
+        return {
+            "media_ref": ref,
+            "width": int(lum.shape[1]),
+            "height": int(lum.shape[0]),
+            "ink_ratio": round(float((lum < 128).mean()), 6),
+            "mean_intensity": round(float(lum.mean()), 6),
+            "format": "png",
+            "dpi": None,  # the color encoders write no ancillary chunks
+            "icc_name": None,
+            "orientation": None,
+        }
+
+    alpha = (180, 204, 230)[(h >> 16) % 3]
+    floor = 255 - alpha
+    layout = (h >> 12) % 4
+    if layout == 0:  # RGBA (color type 6)
+        ink_eff = tuple(max(c, floor) for c in ink)
+        rgb_out = colorize(img, ink_eff, bg)
+        pre = np.dstack(
+            [_alpha_invert(rgb_out, alpha), np.full(img.shape, alpha, np.uint8)]
+        )
+        return encode_rgba(pre), _meta(rgb_to_gray(rgb_out))
+    if layout == 1:  # gray + alpha (color type 4)
+        gout = np.maximum(img, np.uint8(floor))
+        pre = _alpha_invert(gout, alpha)
+        return (
+            encode_gray_alpha(pre, np.full(img.shape, alpha, np.uint8)),
+            _meta(gout),
+        )
     rgb = colorize(img, ink, bg)
-    lum = rgb_to_gray(rgb)
-    meta = {
-        "media_ref": ref,
-        "width": int(lum.shape[1]),
-        "height": int(lum.shape[0]),
-        "ink_ratio": round(float((lum < 128).mean()), 6),
-        "mean_intensity": round(float(lum.mean()), 6),
-        "format": "png",
-        "dpi": None,  # encode_rgb writes no ancillary chunks
-        "icc_name": None,
-        "orientation": None,
-    }
-    if (h >> 8) % 3 == 0:
+    if (h >> 8) % 3 == 0:  # palette (color type 3), round 6
+        if (h >> 20) % 2 == 0:  # + tRNS alpha table (round 7)
+            ink_eff = tuple(max(c, floor) for c in ink)
+            ramp_eff = colorize(
+                np.arange(256, dtype=np.uint8)[None, :], ink_eff, bg
+            )[0]
+            trns = np.full(256, alpha, np.uint8)
+            return (
+                encode_palette(img, _alpha_invert(ramp_eff, alpha), trns),
+                _meta(rgb_to_gray(ramp_eff[img])),
+            )
         ramp = colorize(np.arange(256, dtype=np.uint8)[None, :], ink, bg)[0]
-        return encode_palette(img, ramp), meta
-    return encode_rgb(rgb), meta
+        return encode_palette(img, ramp), _meta(rgb_to_gray(rgb))
+    return encode_rgb(rgb), _meta(rgb_to_gray(rgb))
 
 
 def media_side_values(seed: int, media_ref: str) -> dict:
@@ -623,8 +708,10 @@ def _gen_chunk(args: tuple) -> tuple[list, list, list, list, list]:
                     # lossless TIFF (reference accepts tif/tiff last in
                     # its allow-list, env/local.env:25); variants rotate
                     # through the decode scope — uncompressed, LZW,
-                    # PackBits, 16-bit, and (round 6) TILED layouts
-                    # (all lossless -> same golden)
+                    # PackBits, 16-bit, (round 6) TILED, and (round 7)
+                    # 8-bit chunky RGB layouts.  RGB variants use the
+                    # exact-luminance tint, so ALL variants stay
+                    # lossless in luminance -> same golden.
                     hv = _h(seed, "tiffvar", i, off)
                     comp, tbits, ttile = (
                         (1, 8, None),
@@ -635,16 +722,28 @@ def _gen_chunk(args: tuple) -> tuple[list, list, list, list, list]:
                         (1, 8, (16, 16)),
                         (5, 8, (32, 16)),
                         (32773, 16, (16, 32)),
-                    )[hv % 8]
-                    payload = encode_gray_tiff(
-                        img,
+                        (1, "rgb", None),
+                        (5, "rgb", None),
+                        (32773, "rgb", (16, 16)),
+                        (1, "rgb", (32, 16)),
+                    )[hv % 12]
+                    tkw = dict(
                         dpi=side["dpi"],
                         compression=comp,
-                        bits=tbits,
                         orientation=side["orientation"],
                         icc_name=side["icc"][0] if side["icc"] else None,
                         tile=ttile,
                     )
+                    if tbits == "rgb":
+                        from ms_ocr_spark.extraction.ocr.tiff import (
+                            encode_rgb_tiff,
+                        )
+
+                        payload = encode_rgb_tiff(
+                            tint_exact_luminance(img), **tkw
+                        )
+                    else:
+                        payload = encode_gray_tiff(img, bits=tbits, **tkw)
                     meta_rows.append(
                         {
                             "media_ref": ref,
@@ -939,8 +1038,12 @@ def write_corpus(out_dir: str, n_docs: int, seed: int = 42, **kw) -> dict[str, s
     # fmt 17: progressive tiers rotate restart intervals too (DRI now
     #         decodes in SOF2 frames)
     # fmt 18: color tier adds YCCK (Adobe transform 2) variant
+    # fmt 19: tiff tier rotates 8-bit chunky RGB variants (exact-
+    #         luminance tint — goldens shared); rgb tier rotates
+    #         RGBA / gray+alpha / palette+tRNS layouts (constant-alpha
+    #         pre-divide — composite-over-white is bit-exact)
     params = {
-        "fmt": 18,
+        "fmt": 19,
         "n_docs": n_docs,
         "seed": seed,
         **{k: kw[k] for k in sorted(kw) if k != "processes"},

@@ -209,6 +209,18 @@ def test_rgb_tier_golden(spark, tmp_path):
     media = spark.read.parquet(paths["media_store"])
     golden = spark.read.parquet(paths["golden_spans"])
     _assert_spans_equal(extract_documents(docs, media), golden)
+    # round 7: the tier must actually rotate the alpha layouts (RGBA,
+    # gray+alpha, palette+tRNS) alongside truecolor/palette — pin the
+    # rotation so a future regression can't silently drop a color type
+    ctypes = set()
+    n_trns = 0
+    for r in media.select("payload").collect():
+        buf = bytes(r[0])
+        if buf[:8] == b"\x89PNG\r\n\x1a\n":
+            ctypes.add(buf[25])
+            n_trns += b"tRNS" in buf
+    assert {0, 2, 3, 4, 6} <= ctypes, ctypes
+    assert n_trns >= 1
 
 
 def test_quarantine_tier_golden_and_reasons(spark, tmp_path):
