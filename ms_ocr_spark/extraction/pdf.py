@@ -58,6 +58,57 @@ _N_RE = re.compile(rb"/N\s+(\d+)")
 _FIRST_RE = re.compile(rb"/First\s+(\d+)")
 _PRED_RE = re.compile(rb"/Predictor\s+(\d+)")
 _COLS_RE = re.compile(rb"/Columns\s+(\d+)")
+# font plumbing (round 7, VERDICT r6 item 7)
+_RSRC_REF_RE = re.compile(rb"/Resources\s+(\d+)\s+0\s+R")
+_FONT_DICT_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.S)
+_FONT_ENTRY_RE = re.compile(rb"/([A-Za-z0-9._-]+)\s+(\d+)\s+0\s+R")
+_ENC_DICT_RE = re.compile(rb"/Encoding\s*<<(.*?)>>", re.S)
+_ENC_REF_RE = re.compile(rb"/Encoding\s+(\d+)\s+0\s+R")
+_DIFF_RE = re.compile(rb"/Differences\s*\[(.*?)\]", re.S)
+_DIFF_TOK_RE = re.compile(rb"(\d+)|/([A-Za-z0-9._-]+)")
+_TOUNI_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+0\s+R")
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_CMAP_TOK_RE = re.compile(rb"<([0-9A-Fa-f]+)>|(\[)|(\])")
+_ENCRYPT_RE = re.compile(rb"/Encrypt\s+\d+\s+\d+\s+R")
+
+# Adobe Glyph List subset covering the names a text-layer /Differences
+# realistically uses (ASCII + common Latin-1 accents + typographic
+# punctuation); uniXXXX names resolve programmatically.
+_AGL = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "eacute": "é", "egrave": "è", "agrave": "à",
+    "ccedilla": "ç", "ntilde": "ñ", "adieresis": "ä",
+    "odieresis": "ö", "udieresis": "ü", "oslash": "ø",
+    "aring": "å", "bullet": "•", "endash": "–",
+    "emdash": "—", "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+}
+
+
+def _glyph_to_char(name: str) -> str | None:
+    """Glyph name -> character: single-letter names map to themselves
+    (AGL: A..Z a..z are their own glyph names), uniXXXX decodes the hex,
+    the rest through the AGL subset; None when unknown (the caller keeps
+    the raw code, matching viewers' fallback)."""
+    if len(name) == 1 and name.isalpha():
+        return name
+    if name.startswith("uni") and len(name) == 7:
+        try:
+            return chr(int(name[3:], 16))
+        except ValueError:
+            return None
+    return _AGL.get(name)
 
 
 def _png_unpredict(data: bytes, columns: int) -> bytes:
@@ -299,6 +350,137 @@ def _unescape(s: str) -> str:
     return "".join(out)
 
 
+def _parse_tounicode(stream: bytes) -> dict | None:
+    """/ToUnicode CMap stream -> {"nbytes": 1|2, "map": {code: str}}.
+
+    Parses every beginbfchar (src/dst hex pairs) and beginbfrange
+    section (<lo> <hi> <dstStart>, or <lo> <hi> [<d0> <d1> ...]); dst
+    hex is UTF-16BE (ISO 32000-1 9.10.3).  Code width follows the src
+    hex token length (1-byte simple fonts, 2-byte composite)."""
+    cmap: dict[int, str] = {}
+    nbytes = 1
+
+    def _dst(hexs: bytes) -> str:
+        return bytes.fromhex(hexs.decode("ascii")).decode("utf-16-be", "replace")
+
+    for m in _BFCHAR_RE.finditer(stream):
+        toks = [t[0] for t in _CMAP_TOK_RE.findall(m.group(1)) if t[0]]
+        for i in range(0, len(toks) - 1, 2):
+            src, dst = toks[i], toks[i + 1]
+            nbytes = max(nbytes, len(src) // 2)
+            cmap[int(src, 16)] = _dst(dst)
+    for m in _BFRANGE_RE.finditer(stream):
+        toks = _CMAP_TOK_RE.findall(m.group(1))
+        i = 0
+        while i + 2 < len(toks):
+            lo_h, hi_h = toks[i][0], toks[i + 1][0]
+            if not (lo_h and hi_h):
+                i += 1
+                continue
+            lo, hi = int(lo_h, 16), int(hi_h, 16)
+            nbytes = max(nbytes, len(lo_h) // 2)
+            i += 2
+            if toks[i][1]:  # '[' — one explicit dst per code
+                i += 1
+                code = lo
+                while i < len(toks) and not toks[i][2]:
+                    if toks[i][0] and code <= hi:
+                        cmap[code] = _dst(toks[i][0])
+                        code += 1
+                    i += 1
+                i += 1  # skip ']'
+            elif toks[i][0]:  # <dstStart>: consecutive from the start
+                start = bytes.fromhex(toks[i][0].decode("ascii"))
+                base = int.from_bytes(start, "big")
+                for code in range(lo, hi + 1):
+                    cmap[code] = (
+                        (base + code - lo)
+                        .to_bytes(len(start), "big")
+                        .decode("utf-16-be", "replace")
+                        if len(start) >= 2
+                        else chr(base + code - lo)
+                    )
+                i += 1
+    return {"nbytes": nbytes, "map": cmap} if cmap else None
+
+
+def _parse_differences(body: bytes, objs: dict[int, bytes]) -> dict | None:
+    """/Encoding with /Differences (inline dict or indirect object) ->
+    {"nbytes": 1, "map": {code: str}}; None when absent.  The array
+    alternates code integers and glyph names: each integer resets the
+    running code, each name assigns and increments (ISO 32000-1
+    9.6.6.3).  Unknown glyph names keep the raw code (viewer fallback),
+    so a partially-covered table still extracts the covered part."""
+    em = _ENC_DICT_RE.search(body)
+    enc_body = em.group(1) if em else None
+    if enc_body is None:
+        rm = _ENC_REF_RE.search(body)
+        if rm:
+            enc_body = objs.get(int(rm.group(1)))
+    if enc_body is None:
+        return None
+    dm = _DIFF_RE.search(enc_body)
+    if not dm:
+        return None
+    cmap: dict[int, str] = {}
+    code = 0
+    for num, name in _DIFF_TOK_RE.findall(dm.group(1)):
+        if num:
+            code = int(num)
+            continue
+        ch = _glyph_to_char(name.decode("latin-1"))
+        if ch is not None:
+            cmap[code] = ch
+        code += 1
+    return {"nbytes": 1, "map": cmap} if cmap else None
+
+
+def _page_fonts(page_body: bytes, objs: dict[int, bytes]) -> dict[str, dict]:
+    """Page /Resources /Font -> {resource name: decode map}.  /ToUnicode
+    wins over /Encoding /Differences (the spec's extraction order:
+    9.10.2 lists the ToUnicode CMap first); fonts with neither are
+    omitted (identity text-string semantics)."""
+    rsrc = page_body
+    rm = _RSRC_REF_RE.search(page_body)
+    if rm:
+        rsrc = objs.get(int(rm.group(1)), b"")
+    fm = _FONT_DICT_RE.search(rsrc)
+    if not fm:
+        return {}
+    fonts: dict[str, dict] = {}
+    for name, ref in _FONT_ENTRY_RE.findall(fm.group(1)):
+        fbody = objs.get(int(ref))
+        if fbody is None:
+            continue
+        fmap = None
+        tm = _TOUNI_RE.search(fbody)
+        if tm:
+            stream = _content_stream(objs.get(int(tm.group(1)), b""), objs)
+            if stream:
+                fmap = _parse_tounicode(stream)
+        if fmap is None:
+            fmap = _parse_differences(fbody, objs)
+        if fmap is not None:
+            fonts[name.decode("latin-1")] = fmap
+    return fonts
+
+
+def _decode_shown(raw: bytes, fmap: dict | None) -> str:
+    """Shown-string bytes -> text through the current font's decode map;
+    no map -> plain text-string semantics (UTF-16BE BOM / PDFDoc)."""
+    if fmap is None:
+        return _pdf_text(raw)
+    n, m = fmap["nbytes"], fmap["map"]
+    if n == 2:
+        codes = [
+            int.from_bytes(raw[i : i + 2], "big")
+            for i in range(0, len(raw) - (len(raw) % 2), 2)
+        ]
+    else:
+        codes = list(raw)
+    return "".join(m.get(c, chr(c) if c < 0x110000 else "?") for c in codes)
+
+
 _TOKEN_RE = re.compile(
     r"""\((?:[^()\\]|\\.)*\)   # literal string (with escapes)
       | <[0-9A-Fa-f\s]*>       # hex string (7.3.4.3)
@@ -320,29 +502,29 @@ def _pdf_text(raw: bytes) -> str:
     return raw.decode("latin-1")
 
 
-def _unhex(s: str) -> str:
-    """PDF hex string body -> text: whitespace dropped, an odd final
-    digit padded with 0 (ISO 32000-1 7.3.4.3), then text-string
-    semantics (UTF-16BE BOM honored)."""
-    digits = "".join(s.split())
-    if len(digits) % 2:
-        digits += "0"
-    return _pdf_text(bytes.fromhex(digits))
-
-
-def _extract_from_stream(content: bytes, page: int) -> list[tuple]:
+def _extract_from_stream(
+    content: bytes, page: int, fonts: dict[str, dict] | None = None
+) -> list[tuple]:
     """One content stream -> [(page, x, y, text)] in drawing order.
 
     Text positioning follows the spec's line-matrix model (ISO 32000-1
     9.4.2): Td/TD translate the LINE start (TD also sets leading = -ty),
     Tm replaces it, `TL` sets leading, `T*` moves to the next line
-    (line start shifted down by the leading), `'` is T* + show."""
+    (line start shifted down by the leading), `'` is T* + show.
+
+    Round 7 (VERDICT r6 item 7): `Tf` selects the current font; shown
+    strings decode through that font's /ToUnicode CMap or /Encoding
+    /Differences map (`fonts`, from `_page_fonts`) — PDFs from real
+    typesetters use subset fonts with custom encodings whose raw string
+    bytes are NOT the text.  Fonts without a map (or no fonts at all)
+    keep the plain text-string semantics, byte-identical to round 6."""
     text = content.decode("latin-1", "replace")
     spans: list[tuple] = []
     stack: list = []
     lx = ly = 0.0  # line start (text line matrix translation)
     leading = 0.0
     in_text = False
+    cur_map: dict | None = None  # font state persists across BT/ET (9.3)
     for m in _TOKEN_RE.finditer(text):
         tok = m.group(0)
         if tok == "BT":
@@ -355,13 +537,23 @@ def _extract_from_stream(content: bytes, page: int) -> list[tuple]:
             continue
         elif tok.startswith("("):
             s = _unescape(tok[1:-1])
-            stack.append(("s", _pdf_text(s.encode("latin-1", "replace"))))
+            stack.append(("s", s.encode("latin-1", "replace")))
         elif tok.startswith("<"):
-            stack.append(("s", _unhex(tok[1:-1])))
+            digits = "".join(tok[1:-1].split())
+            if len(digits) % 2:
+                digits += "0"  # odd final digit pads with 0 (7.3.4.3)
+            stack.append(("s", bytes.fromhex(digits)))
         elif tok in ("[", "]"):
             continue  # TJ arrays: strings concatenate, kerning numbers drop
+        elif tok.startswith("/"):
+            stack.append(("f", tok[1:]))
         elif re.fullmatch(r"[-+]?\d*\.?\d+", tok):
             stack.append(("n", float(tok)))
+        elif tok == "Tf":
+            names = [v for k, v in stack if k == "f"]
+            if names:
+                cur_map = (fonts or {}).get(names[-1])
+            stack = []
         elif tok == "Tm":
             nums = [v for k, v in stack if k == "n"][-6:]
             if len(nums) == 6:
@@ -387,27 +579,54 @@ def _extract_from_stream(content: bytes, page: int) -> list[tuple]:
                 ly -= leading
             strs = [v for k, v in stack if k == "s"]
             if strs:
-                spans.append((page, round(lx, 1), round(ly, 1), strs[-1]))
+                spans.append(
+                    (page, round(lx, 1), round(ly, 1), _decode_shown(strs[-1], cur_map))
+                )
             stack = []
         elif tok == "TJ":
             strs = [v for k, v in stack if k == "s"]
             if strs:
-                spans.append((page, round(lx, 1), round(ly, 1), "".join(strs)))
+                spans.append(
+                    (
+                        page,
+                        round(lx, 1),
+                        round(ly, 1),
+                        "".join(_decode_shown(s, cur_map) for s in strs),
+                    )
+                )
             stack = []
-        else:  # Tf, Tc, Tw, colors, ... consume operands
+        else:  # Tc, Tw, colors, ... consume operands
             stack = []
     return spans
+
+
+def pdf_scope_reason(data: bytes) -> str | None:
+    """None when the file is inside this parser's scope, else a short
+    reason string — the PDF analog of `jpeg_scope_reason` (header-level
+    probe for quarantine telemetry).  Encrypted PDFs (a trailer
+    /Encrypt reference, ISO 32000-1 7.6) cannot be text-extracted
+    without key material and get a distinct class."""
+    if data[:4] != b"%PDF":
+        return "not_a_pdf"
+    if _ENCRYPT_RE.search(data):
+        return "encrypted_pdf"
+    return None
 
 
 def pdf_text_spans(data: bytes) -> list[tuple]:
     """PDF bytes -> [(page, x, y, text)] spans in page + drawing order.
 
     Pages resolve through the /Pages tree's /Kids order; each page's
-    /Contents stream is parsed independently.  PDFs without a parseable
-    page tree fall back to scanning every stream object in object order
-    (tolerant mode for linearized/cut files)."""
+    /Contents stream is parsed independently with that page's font
+    decode maps (/ToUnicode, /Encoding /Differences).  PDFs without a
+    parseable page tree fall back to scanning every stream object in
+    object order (tolerant mode for linearized/cut files).  Encrypted
+    PDFs raise (quarantine class `encrypted_pdf` via
+    `pdf_scope_reason`)."""
+    if _ENCRYPT_RE.search(data):
+        raise ValueError("encrypted PDF (/Encrypt) — no key material")
     objs = _pdf_objects(data)
-    page_contents: list[list[int]] = []
+    page_contents: list[tuple[list[int], dict]] = []
     kids_order: list[int] = []
     for _num, body in sorted(objs.items()):
         if b"/Type /Pages" in body or b"/Type/Pages" in body:
@@ -416,18 +635,19 @@ def pdf_text_spans(data: bytes) -> list[tuple]:
                 kids_order = [int(r.group(1)) for r in _REF_RE.finditer(m.group(1))]
     for kid in kids_order:
         body = objs.get(kid, b"")
+        fonts = _page_fonts(body, objs)
         am = _CONTENTS_ARR_RE.search(body)
         if am:  # /Contents [c1 0 R c2 0 R ...]: array order
             refs = [int(r.group(1)) for r in _REF_RE.finditer(am.group(1))]
             if refs:
-                page_contents.append(refs)
+                page_contents.append((refs, fonts))
             continue
         m = _CONTENTS_RE.search(body)
         if m:
-            page_contents.append([int(m.group(1))])
+            page_contents.append(([int(m.group(1))], fonts))
     spans: list[tuple] = []
     if page_contents:
-        for page, cnums in enumerate(page_contents):
+        for page, (cnums, fonts) in enumerate(page_contents):
             # multiple /Contents streams concatenate with a newline
             # (ISO 32000-1 7.8.2) and parse as ONE stream: text state
             # (line matrix, leading) flows across the boundary
@@ -437,7 +657,7 @@ def pdf_text_spans(data: bytes) -> list[tuple]:
                 if c is not None
             ]
             if parts:
-                spans.extend(_extract_from_stream(b"\n".join(parts), page))
+                spans.extend(_extract_from_stream(b"\n".join(parts), page, fonts))
     else:  # tolerant fallback: every stream in object order on page 0
         for _num, body in sorted(objs.items()):
             if b"/ObjStm" in body or b"/XRef" in body:

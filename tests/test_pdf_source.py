@@ -260,3 +260,118 @@ def test_pdf_modern_bytes_large_offsets():
         for g in pdf_modern_golden(boxes, column)
     ]
     assert got == exp
+
+
+def _mini_pdf(objs_bodies: list[bytes], trailer_extra: bytes = b"") -> bytes:
+    out = bytearray(b"%PDF-1.5\n")
+    for i, body in enumerate(objs_bodies, 1):
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    out += b"trailer\n<< /Root 1 0 R " + trailer_extra + b">>\n%%EOF\n"
+    return bytes(out)
+
+
+def test_pdf_encoding_differences_and_tounicode():
+    """Round 7 (VERDICT r6 item 7): shown strings decode through the
+    current font's /Encoding /Differences table or /ToUnicode CMap
+    (bfchar AND bfrange, range-start and explicit-list forms); Tf
+    switches fonts mid-stream; fonts without a map keep the plain
+    text-string semantics."""
+    import zlib
+
+    content = (
+        b"BT /F1 12 Tf 72 700 Td (\xa1\xa2\xa3\xa3\xa4) Tj "
+        b"/F2 12 Tf 0 -20 Td <000000010002> Tj "
+        b"/F3 12 Tf 0 -20 Td (plain) Tj ET"
+    )
+    stream = zlib.compress(content)
+    cmap = (
+        b"2 beginbfchar <0000> <0041> <0001> <00E9> endbfchar\n"
+        b"2 beginbfrange <0002> <0004> <0058> "
+        b"<0005> <0006> [<0042> <0043>] endbfrange\nendcmap"
+    )
+    pdf = _mini_pdf(
+        [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /Resources << /Font "
+            b"<< /F1 5 0 R /F2 6 0 R /F3 8 0 R >> >> /Contents 4 0 R >>",
+            b"<< /Length "
+            + str(len(stream)).encode()
+            + b" /Filter /FlateDecode >>\nstream\n"
+            + stream
+            + b"\nendstream",
+            b"<< /Type /Font /Encoding << /Differences [ 161 /H /E /L /O ] >> >>",
+            b"<< /Type /Font /Subtype /Type0 /ToUnicode 7 0 R >>",
+            b"<< /Length "
+            + str(len(cmap)).encode()
+            + b" >>\nstream\n"
+            + cmap
+            + b"\nendstream",
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        ]
+    )
+    assert pdf_text_spans(pdf) == [
+        (0, 72.0, 700.0, "HELLO"),
+        (0, 72.0, 680.0, "AéX"),
+        (0, 72.0, 660.0, "plain"),
+    ]
+
+
+def test_pdf_tounicode_bfrange_explicit_list():
+    """A bfrange with an explicit [ <dst> ... ] destination list maps
+    each code independently (ISO 32000-1 9.10.3)."""
+    from ms_ocr_spark.extraction.pdf import _parse_tounicode
+
+    m = _parse_tounicode(
+        b"1 beginbfrange <20> <22> [<0058> <0059> <005A>] endbfrange endcmap"
+    )
+    assert m == {"nbytes": 1, "map": {0x20: "X", 0x21: "Y", 0x22: "Z"}}
+
+
+def test_pdf_glyph_names_agl_and_uni():
+    from ms_ocr_spark.extraction.pdf import _glyph_to_char
+
+    assert _glyph_to_char("A") == "A"
+    assert _glyph_to_char("zero") == "0"
+    assert _glyph_to_char("eacute") == "é"
+    assert _glyph_to_char("uni4E2D") == "中"
+    assert _glyph_to_char("nonsenseglyph") is None
+
+
+def test_pdf_encrypted_quarantines_with_reason():
+    """Encrypted PDFs (/Encrypt in the trailer) raise — the operator's
+    quarantine catch yields the all-null row — and pdf_scope_reason
+    reports the distinct class."""
+    from ms_ocr_spark.extraction.pdf import pdf_scope_reason
+
+    boxes = [{"x1": 10, "y1": 20, "x2": 60, "y2": 35, "text": "SECRET"}]
+    good = pdf_from_boxes(boxes)
+    enc = good.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R")
+    assert pdf_scope_reason(good) is None
+    assert pdf_scope_reason(enc) == "encrypted_pdf"
+    assert pdf_scope_reason(b"garbage") == "not_a_pdf"
+    with pytest.raises(ValueError, match="[Ee]ncrypt"):
+        pdf_text_spans(enc)
+
+
+def test_pdf_custom_encoding_fixture_class():
+    """The datagen custom-encoding layout (Differences font for boxes +
+    ToUnicode font for hex-string column lines) parses to its golden
+    exactly, and the payload bytes do NOT contain the plaintext."""
+    from ms_ocr_spark.sources.datagen import (
+        pdf_custom_encoding_bytes,
+        pdf_custom_encoding_golden,
+    )
+
+    boxes = [
+        {"x1": 20, "y1": 30, "x2": 80, "y2": 44, "text": "SPARK (v2)"},
+        {"x1": 40, "y1": 90, "x2": 100, "y2": 104, "text": "X9 50%"},
+    ]
+    column = [{"text": "MERGE [a]"}, {"text": "GLYPH \\x"}, {"text": "A1 )("}]
+    buf = pdf_custom_encoding_bytes(boxes, column)
+    exp = [
+        (r["page"], r["x"], r["y"], r["text"])
+        for r in pdf_custom_encoding_golden(boxes, column)
+    ]
+    assert pdf_text_spans(buf) == exp
+    assert b"SPARK" not in buf and b"MERGE" not in buf and b"GLYPH" not in buf
