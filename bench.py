@@ -75,22 +75,35 @@ def run_extraction(cores: int) -> dict:
     ).collect()
     n_docs = docs.count()
     walls = []
+    cores_mid = []
     n_out = 0
-    # best-of-N against noisy-neighbor steal time (~2x wall variance)
-    for _ in range(BENCH_REPEATS):
+    for i in range(BENCH_REPEATS):
+        if i:
+            # mid-run host sample BETWEEN walls (VERDICT r6 item 3): a
+            # 1-core pre-probe cannot see a mid-window collapse at 32
+            # threads; this records what the host actually delivered
+            # inside the measurement window, next to each wall
+            cores_mid.append(effective_cores(cores, secs=1.0))
         t0 = time.time()
         out = extract_documents(docs, media, salt_partitions=cores)
         n_out = out.select(F.sum(F.size("spans"))).collect()[0][0]
         walls.append(time.time() - t0)
-    wall = min(walls)
+    wall_best = min(walls)
+    wall_median = sorted(walls)[len(walls) // 2]
     spark.stop()
     return {
         "cores": cores,
         "n_docs": int(n_docs),
         "n_spans": int(n_out),
-        "wall_sec": round(wall, 3),
+        # headline semantics (VERDICT r6 item 3): the MEDIAN wall is the
+        # reproducible figure; the best wall rides along as evidence of
+        # the distribution, never as the headline
+        "wall_sec": round(wall_median, 3),
+        "wall_sec_best": round(wall_best, 3),
         "walls_all_runs": [round(w, 2) for w in walls],
-        "docs_per_sec": round(n_docs / wall, 3),
+        "effective_cores_mid_run": cores_mid,
+        "docs_per_sec": round(n_docs / wall_median, 3),
+        "docs_per_sec_best": round(n_docs / wall_best, 3),
     }
 
 
@@ -369,33 +382,37 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    # N -> 4N efficiency from ABBA-ordered (lo, hi, hi, lo) runs: all four
-    # share the host's noise window (the sandbox VM throttles on
-    # multi-minute windows) and the A-B-B-A ordering cancels LINEAR drift
-    # in host speed within the window, so the RATIO is meaningful even
-    # when the absolute walls are not.  Each attempt is VALIDATED post-run
-    # by re-probing the no-Spark pool at the same pair: a pre-probe that
-    # passed followed by a post-probe that collapsed means the window died
-    # mid-run (the round-2 0.325 artifact) — that attempt is marked
-    # window_valid=false, the pair drops to (1,4), and the ladder retries.
-    attempts: list[dict] = []
+    # N -> 4N efficiency from PER-RUNG-PAIR probed measurements (round 7,
+    # VERDICT r6 item 2).  The former design probed once around a whole
+    # 4-rung ABBA window, which is blind to INTRA-window step drift: r6's
+    # official artifact recorded eff 0.534 with healthy bracketing probes
+    # because the host collapsed between rungs, not across the window.
+    # Now every (lo, hi) pair is bracketed by its OWN no-Spark probes —
+    # probe, lo, hi, probe — a drifted pair is invalidated individually,
+    # pair order alternates (lo-hi / hi-lo) so linear drift inside a pair
+    # cancels in the median, and the reported efficiency is the MEDIAN of
+    # the valid pairs (target >= 3), not the best window of a lottery.
+    rung_pairs: list[dict] = []
     runs: dict[int, dict] = {}
     t_ladder = time.time()
-    for attempt in range(4):
-        # a local[1] rung is ~4x slower, so the (1,4) ladder uses a smaller
-        # corpus — BOTH rungs of a pair always share one corpus, so the
-        # ratio is unaffected; sized so one attempt leaves retry headroom
+    # a local[1] rung is ~4x slower, so the (1,4) ladder uses a smaller
+    # corpus — BOTH rungs of a pair always share one corpus, so the
+    # ratio is unaffected
+    max_pairs = int(os.environ.get("SPARK_GRAFT_MAX_RUNG_PAIRS", "6"))
+    min_valid = 3
+    pair_i = 0
+    while pair_i < max_pairs:
         ladder_docs = BENCH_DOCS // 2 if n_lo == 1 else (BENCH_DOCS * 2) // 3
-        # an ABBA pair costs minutes; a probe costs ~20 s.  When the
-        # pre-probe says the HOST cannot scale this pair right now (the
-        # VM throttles on multi-minute windows), don't burn an attempt on
-        # a doomed window — sleep and re-probe until the window recovers
-        # (bounded so a permanently sick host still produces an artifact)
+        # a pair costs ~2 min; a probe costs ~20 s.  When the pre-probe
+        # says the HOST cannot scale this pair right now (the VM
+        # throttles on multi-minute windows), don't burn a pair on a
+        # doomed window — sleep and re-probe until it recovers (bounded
+        # so a permanently sick host still produces an artifact)
         pre_eff = 0.0
-        for wait in range(6):
+        while True:
             pre = kernel_pool_control(n_imgs=1200, pairs=((n_lo, n_hi),))
             pre_eff = pre[f"pool_scaling_efficiency_{n_lo}_to_{n_hi}"]
-            if pre_eff >= 0.85 or time.time() - t_ladder > 1100:
+            if pre_eff >= 0.85 or time.time() - t_ladder > 1500:
                 break
             print(
                 f"bench: pre-probe {n_lo}->{n_hi}={pre_eff} unhealthy,"
@@ -403,62 +420,73 @@ def main() -> None:
                 file=sys.stderr,
             )
             time.sleep(45)
-        lo1 = _extract_subprocess(n_lo, n_docs=ladder_docs)
-        hi1 = _extract_subprocess(n_hi, n_docs=ladder_docs)
-        hi2 = _extract_subprocess(n_hi, n_docs=ladder_docs)
-        lo2 = _extract_subprocess(n_lo, n_docs=ladder_docs)
+        # alternate rung order pair-over-pair: lo-hi, hi-lo, lo-hi, ...
+        if pair_i % 2 == 0:
+            lo_r = _extract_subprocess(n_lo, n_docs=ladder_docs)
+            hi_r = _extract_subprocess(n_hi, n_docs=ladder_docs)
+        else:
+            hi_r = _extract_subprocess(n_hi, n_docs=ladder_docs)
+            lo_r = _extract_subprocess(n_lo, n_docs=ladder_docs)
         post = kernel_pool_control(n_imgs=1200, pairs=((n_lo, n_hi),))
         post_eff = post[f"pool_scaling_efficiency_{n_lo}_to_{n_hi}"]
-        for c, r in ((n_lo, lo1), (n_hi, hi1), (n_hi, hi2), (n_lo, lo2)):
+        for c, r in ((n_lo, lo_r), (n_hi, hi_r)):
             if c not in runs or r["docs_per_sec"] > runs[c]["docs_per_sec"]:
                 runs[c] = r
-        dps_lo = 2 * lo1["n_docs"] / (lo1["wall_sec"] + lo2["wall_sec"])
-        dps_hi = 2 * hi1["n_docs"] / (hi1["wall_sec"] + hi2["wall_sec"])
-        eff = round(dps_hi / (4 * dps_lo), 3)
-        # window valid = host scaled at this pair BOTH before and after the
-        # run (a sick-start window that recovers mid-run is just as
-        # unusable as one that dies mid-run) and didn't lose more than 15%
-        # of its probed headroom — same floors as the headline-phase rule
-        window_valid = (
-            pre_eff >= 0.8 and post_eff >= 0.8 and post_eff >= 0.85 * pre_eff
+        eff = round(
+            hi_r["docs_per_sec"] / (4 * lo_r["docs_per_sec"]), 3
         )
-        attempts.append(
+        # pair valid = host scaled at this pair BOTH immediately before
+        # and immediately after the two rungs, and neither probe drifted
+        # more than 15% from the other (sick-start windows that recover
+        # are as unusable as ones that die mid-pair)
+        drift_ok = min(pre_eff, post_eff) >= 0.85 * max(pre_eff, post_eff)
+        pair_valid = pre_eff >= 0.8 and post_eff >= 0.8 and drift_ok
+        rung_pairs.append(
             {
                 "pair": [n_lo, n_hi],
+                "order": "lo-hi" if pair_i % 2 == 0 else "hi-lo",
                 "eff": eff,
                 "probe_pre": pre_eff,
                 "probe_post": post_eff,
-                "window_valid": window_valid,
+                "pair_valid": pair_valid,
             }
         )
         print(
-            f"bench: ABBA attempt {attempt + 1} pair=({n_lo},{n_hi})"
-            f" eff={eff} probe pre={pre_eff} post={post_eff}"
-            f" valid={window_valid}",
+            f"bench: rung pair {pair_i + 1} ({n_lo},{n_hi})"
+            f" {'lo-hi' if pair_i % 2 == 0 else 'hi-lo'} eff={eff}"
+            f" probes {pre_eff}/{post_eff} valid={pair_valid}",
             file=sys.stderr,
         )
-        if eff >= 0.8 and window_valid:
+        pair_i += 1
+        n_valid = sum(p["pair_valid"] for p in rung_pairs)
+        if n_valid >= min_valid and pair_i >= min_valid:
             break
-        if not window_valid and (n_lo, n_hi) != (1, 4):
+        if not pair_valid and (n_lo, n_hi) != (1, 4):
             n_lo, n_hi = 1, 4  # most throttle-immune rungs for the retry
-        if time.time() - t_ladder > 1100:
+        if time.time() - t_ladder > 2000:
             break
-    runs[CPUS] = _extract_subprocess(CPUS)
+    # the full-CPU rung is the headline: best-of->=3 walls regardless of
+    # the driver's BENCH_REPEATS floor, median wall reported as the value
+    # (VERDICT r6 item 3), with mid-run effective-core samples in-artifact
+    runs[CPUS] = _extract_subprocess(CPUS, repeats=max(3, BENCH_REPEATS))
 
-    # headline = best attempt whose window survived its post-probe; all raw
-    # attempts (incl. invalid windows) are reported alongside — no silent
-    # selection, the probe evidence for each number sits next to it
-    valid = [a for a in attempts if a["window_valid"]] or attempts
-    best = max(valid, key=lambda a: a["eff"])
+    # scaling efficiency = MEDIAN over valid pairs (all pairs when none
+    # validated — flagged invalid); every raw pair with its probe evidence
+    # is reported alongside, no silent selection
+    valid = [p for p in rung_pairs if p["pair_valid"]]
+    basis = valid or rung_pairs
+    effs = sorted(p["eff"] for p in basis)
+    eff_median = effs[len(effs) // 2] if len(effs) % 2 else round(
+        (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3
+    )
 
     extraction: dict = {f"local[{c}]": runs[c] for c in sorted(runs)}
-    extraction["pair_cores_N_to_4N"] = best["pair"]
+    extraction["pair_cores_N_to_4N"] = basis[-1]["pair"]
     extraction["pair_choice_probe"] = probe
-    extraction["ladder_attempts"] = attempts
-    extraction["scaling_efficiency_N_to_4N"] = best["eff"]
-    extraction["scaling_probe_pre"] = best["probe_pre"]
-    extraction["scaling_probe_post"] = best["probe_post"]
-    extraction["scaling_window_valid"] = best["window_valid"]
+    extraction["rung_pairs"] = rung_pairs
+    extraction["scaling_efficiency_N_to_4N"] = eff_median
+    extraction["scaling_n_valid_pairs"] = len(valid)
+    extraction["scaling_window_valid"] = len(valid) >= min_valid
     extraction["host_effective_cores_before"] = cores_before
     extraction["host_effective_cores_after"] = effective_cores()
     extraction["kernel_pool_control"] = kernel_pool_control()
@@ -492,6 +520,9 @@ def main() -> None:
     result = {
         "metric": "docs_per_sec_extraction",
         "value": runs[CPUS]["docs_per_sec"],
+        "docs_per_sec_best": runs[CPUS].get("docs_per_sec_best"),
+        "walls_all_runs": runs[CPUS].get("walls_all_runs"),
+        "effective_cores_mid_run": runs[CPUS].get("effective_cores_mid_run"),
         "normalized_docs_per_sec": normalized_dps,
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in timings.items()},
@@ -500,11 +531,14 @@ def main() -> None:
         "sf": sf,
         "extraction": {
             **slim_rungs,
-            "pair_cores_N_to_4N": best["pair"],
-            "scaling_efficiency_N_to_4N": best["eff"],
-            "scaling_probe_pre": best["probe_pre"],
-            "scaling_probe_post": best["probe_post"],
-            "scaling_window_valid": best["window_valid"],
+            "pair_cores_N_to_4N": extraction["pair_cores_N_to_4N"],
+            "scaling_efficiency_N_to_4N": eff_median,
+            "scaling_n_valid_pairs": len(valid),
+            "rung_pair_effs": [
+                [p["eff"], p["probe_pre"], p["probe_post"], p["pair_valid"]]
+                for p in rung_pairs
+            ],
+            "scaling_window_valid": extraction["scaling_window_valid"],
             "host_cores_before_after": [
                 extraction["host_effective_cores_before"],
                 extraction["host_effective_cores_after"],
