@@ -302,16 +302,204 @@ _KANJI_FONT: dict[str, tuple[str, ...]] = {
 }
 # fmt: on
 
+# Kyoiku GRADE-2 kanji (round 7 — VERDICT r6 item 9): 159 of the 160
+# grade-2 characters, same constraints as grade 1 (ONE 8-connected
+# component, full height, ink in every row, pairwise decode margin >= 18
+# asserted by tests/test_kana_glyphs.py; worst pair at integration: 21).
+# The one exclusion, same policy as grade-1's homoglyph rule:
+#
+#   * 工 (craft) is EXCLUDED: at 5x7 it is a pixel-exact homoglyph of
+#     katakana エ in the same charset (real typography has the same
+#     confusion); the inventory carries エ only.
+#
+# Crowded families got systematically distinct interior textures so the
+# margin holds: the hollow-frame family (門/間/聞/内/肉/同/円/回/図/園/
+# 国), the ⻌ family (近/週/通/道/遠), the 言-left family (記/計/語/読/
+# 話), and the ladder-left 日 family (時/晴/明/曜).
+#
+# Decode-robustness rule (learned the hard way): interior WHITE regions
+# must span >= 2 font px in some direction or reach the glyph boundary.
+# The deskew path counter-rotates with bilinear interpolation and
+# re-binarizes at threshold 160 (double-blur compensation), which FILLS
+# enclosed 1x1 holes; a dense checkerboard texture collapses to a near-
+# solid block whose best match is the bar glyph 一 via the short-class
+# retry.  Every glyph here passes a render->rotate(+-3 deg)->decode
+# sweep in both single-glyph and 8-glyph-line form.
+_KANJI2_FONT: dict[str, tuple[str, ...]] = {
+    "万": ('XXXXX', '..X..', '.XXX.', '.X.X.', '.X.X.', 'X..X.', '...X.'),
+    "丸": ('..X..', '..X..', '.XXXX', '.X.X.', '.X.X.', 'XX.X.', '...XX'),
+    "交": ('..X..', 'XXXXX', 'X...X', '.X.X.', '..X..', '.XX..', 'XX.XX'),
+    "京": ('..X..', 'XXXXX', '.XXX.', '.X.X.', '.XXX.', '.X.X.', 'XX..X'),
+    "今": ('..X..', '.X.X.', 'X...X', 'XXXXX', '...X.', '..X..', '..XX.'),
+    "会": ('..X..', '.X.X.', 'X...X', 'XXXXX', '..X..', '.X.X.', 'XX..X'),
+    "体": ('X..X.', 'XXXXX', 'X.XX.', 'XX.XX', 'X..X.', 'X.XXX', 'X..X.'),
+    "何": ('X.XXX', 'XXX.X', 'X.X.X', 'X.XXX', 'X...X', 'X...X', 'X..XX'),
+    "作": ('X.XXX', 'XX.X.', 'X.XXX', 'X..X.', 'X..XX', 'X..X.', 'X..X.'),
+    "元": ('XXXX.', '..X..', 'XXXXX', '.X.X.', '.X.X.', '.X.X.', 'XX.XX'),
+    "兄": ('XXXX.', 'X..X.', 'X..X.', 'XXXX.', '.X.X.', '.X.X.', 'XX.XX'),
+    "光": ('X.X.X', '.X.X.', 'XXXXX', '.X.X.', '.X.X.', '.X.X.', 'XX.XX'),
+    "公": ('X...X', '.X.X.', '..X..', '.XX..', 'X..X.', 'X...X', '.XXXX'),
+    "内": ('XXXXX', 'XX.XX', 'X.X.X', 'XX.XX', 'X...X', 'X...X', 'X...X'),
+    "冬": ('..XX.', '.X.X.', 'X.X.X', '.XX..', '..X..', '.X.X.', '..X..'),
+    "刀": ('XXXX.', '...X.', '..XX.', '.X.X.', 'X..X.', 'X..X.', '..XX.'),
+    "分": ('X...X', '.X.X.', 'XXXXX', '...X.', '..XX.', '.X.X.', 'X..X.'),
+    "切": ('X.XXX', 'X.X.X', 'XXX.X', 'X.X.X', 'XX..X', '.X.X.', 'X...X'),
+    "前": ('X.X.X', 'XXXXX', 'XXX.X', 'X.X.X', 'XXX.X', 'X.X.X', 'XXX.X'),
+    "北": ('X..X.', 'X..XX', 'XXXX.', 'X..X.', 'X..X.', 'X..XX', 'XX.X.'),
+    "午": ('.XX..', '.X...', 'XXXXX', '..X..', 'XXXXX', '..X..', '.XX..'),
+    "半": ('X.X.X', '.X.X.', 'XXXXX', '..X..', 'XXXXX', '..X..', '..X..'),
+    "南": ('..X..', 'XXXXX', 'X...X', 'XX.XX', 'X.X.X', 'XX.XX', 'X...X'),
+    "原": ('XXXXX', 'X.X..', 'X.XXX', 'XX.X.', 'X.XXX', 'XX.X.', 'X..XX'),
+    "友": ('..X..', 'XXXXX', '.X...', '.XXXX', 'X.X..', '..XX.', '.X..X'),
+    "古": ('..X..', 'XXXXX', '..X..', 'XXXXX', 'X...X', 'X...X', 'XXXXX'),
+    "台": ('..XX.', '.X..X', 'X..X.', 'XXXX.', 'X...X', 'X...X', 'XXXXX'),
+    "合": ('..X..', '.X.X.', 'X...X', 'XXXXX', 'X...X', 'X...X', 'XXXXX'),
+    "同": ('XXXXX', 'X.X.X', 'X...X', 'X.XXX', 'X.X.X', 'X.XXX', 'X...X'),
+    "回": ('XXXXX', 'X...X', 'X.XX.', 'X.XX.', 'X.XX.', 'X.X.X', 'XXXXX'),
+    "図": ('XXXXX', 'XX..X', 'X.X.X', 'X..XX', 'X.X.X', 'XX..X', 'XXXXX'),
+    "国": ('XXXXX', 'X...X', 'X.XXX', 'X..X.', 'X.XXX', 'X.X.X', 'XXXXX'),
+    "園": ('XXXXX', 'X...X', 'XX.XX', 'X.X.X', 'X...X', 'X.X.X', 'XXXXX'),
+    "地": ('X.X.X', 'XX.X.', 'X.XXX', 'XX.X.', 'X.X.X', 'X.X.X', '.XXXX'),
+    "場": ('X.XXX', 'XXX.X', 'X.XXX', 'XX...', 'X.XXX', 'X..X.', 'XX.XX'),
+    "声": ('XXXX.', '..X..', 'XXXXX', 'X...X', 'XXXX.', 'X....', 'X....'),
+    "売": ('..X..', 'XXXXX', '..X..', 'XXXXX', 'X...X', '.X.X.', 'XX.XX'),
+    "夏": ('XXXXX', '..X..', '.XXX.', '.X.X.', '.XXX.', '.X...', 'X.XXX'),
+    "外": ('XX.X.', 'X.XX.', 'XX.XX', 'X..X.', 'XX.X.', 'X..X.', 'X..X.'),
+    "多": ('..XX.', '.X.X.', '..X.X', '...X.', '..XX.', '.X..X', 'X.XX.'),
+    "夜": ('..X..', 'XXXXX', 'X.X.X', 'X.XX.', 'X.X.X', 'X..XX', 'XX.X.'),
+    "太": ("..X..", "XXXXX", "..X..", ".X.X.", "X...X", "X.XX.", "X...X"),
+    "妹": ('X..X.', 'XXXXX', 'X..X.', 'XX.XX', 'X.XXX', '.X.X.', 'X.X.X'),
+    "姉": ('X..X.', 'XXXXX', 'X.XXX', 'XX.X.', 'X.XXX', '.X.X.', 'X..X.'),
+    "室": ('..X..', 'XXXXX', '.X.X.', '..X..', 'XXXXX', '..X..', 'XXXXX'),
+    "家": ('..X..', 'XXXXX', '.X.X.', 'X.X.X', '.XX..', 'X.XX.', '.X..X'),
+    "寺": ('..X..', 'XXXXX', '..X..', 'XXXXX', '...X.', '.X.X.', '..XX.'),
+    "少": ('..X..', 'X.X.X', 'X.X.X', '.X.X.', '...X.', '..X..', '.X...'),
+    "岩": ('..X..', 'X.X.X', 'XXXXX', '..X..', '.XXXX', '.X..X', '.XXXX'),
+    "市": ('..X..', 'XXXXX', 'X.X.X', 'X.X.X', 'X.XXX', '..X..', '..XX.'),
+    "帰": ('X.XXX', 'X...X', 'XXXXX', 'X.X.X', 'X.XXX', 'X..X.', 'X..X.'),
+    "広": ('..X..', 'XXXXX', 'X....', 'X.XX.', 'X.X.X', 'XX.X.', 'X.XXX'),
+    "店": ('..X..', 'XXXXX', 'X..X.', 'X.XXX', 'X.X..', 'X.XXX', 'X.X.X'),
+    "弓": ('XXXX.', '...X.', '.XXX.', 'X....', 'XXXX.', '...X.', '..XX.'),
+    "引": ('XXXXX', '..X.X', 'XXX.X', 'X...X', 'XXX.X', '..X.X', '..X.X'),
+    "弟": ('X.X.X', '.XXX.', '...X.', 'XXXXX', 'X..X.', 'XXXX.', '..X.X'),
+    "弱": ('XXXXX', '.X..X', 'XX.XX', '.X..X', 'XX.XX', '.X..X', 'XX.XX'),
+    "強": ('XX.XX', 'X..X.', 'XXXXX', 'X.X.X', 'XX.XX', 'X..X.', 'X.XXX'),
+    "当": ('X.X.X', '.XXX.', 'XXXX.', '...X.', 'XXXX.', '...X.', 'XXXX.'),
+    "形": ('XXX..', 'X.X.X', 'X.XXX', 'X.X.X', 'X.XXX', 'X.X.X', 'X.X.X'),
+    "後": ('X..X.', 'XX.XX', 'X.X..', 'XX.XX', 'X..X.', 'XX.X.', 'X..XX'),
+    "心": ('.X...', 'X....', 'X.X.X', 'X.X.X', 'X..XX', 'X...X', '.XXX.'),
+    "思": ('XXXXX', 'X.X.X', 'XXXXX', '..X..', 'X.X.X', 'XX.XX', '..X..'),
+    "戸": ('XXXXX', 'X....', 'XXXXX', 'X...X', 'XXXXX', '.X...', 'X....'),
+    "才": ('..X..', 'XXXXX', '..XX.', '.X.X.', 'X..X.', '...X.', '..XX.'),
+    "教": ('X.X..', 'XXXXX', 'X.X.X', 'XXXX.', 'X.X.X', '.XX..', 'X..XX'),
+    "数": ('X.X.X', '.XXX.', '..X..', '.XXX.', 'X...X', '.X.X.', 'X...X'),
+    "新": ('..X.X', 'XXXXX', '..X.X', 'XXX.X', 'X.X.X', 'X.X.X', 'X.X.X'),
+    "方": ('..X..', 'XXXXX', '..X..', '.XXX.', '.X.X.', '.X.X.', 'XX.X.'),
+    "明": ('XXXXX', 'XXX.X', 'XXX.X', 'XXXXX', '..X.X', '..X.X', '..X.X'),
+    "星": ('XXXX.', 'X..X.', 'XXXX.', '.X...', 'XXXXX', '..X..', 'XXXXX'),
+    "春": ('..X..', 'XXXXX', '..X..', 'XXXXX', '.X.X.', 'X.X.X', '.XXX.'),
+    "昼": ('XXXX.', 'X....', 'XXXXX', '.X.X.', '.XXX.', '..X..', 'XXXXX'),
+    "時": ('XX.X.', 'X.XXX', 'X..X.', 'XXXXX', 'X...X', 'X..X.', 'XXXX.'),
+    "晴": ('XX.X.', 'X.XXX', 'X..X.', 'XXXXX', 'X...X', 'X.XXX', 'X.X.X'),
+    "曜": ('XXX.X', 'X.XXX', 'X.X..', 'XXXXX', 'X.X..', 'X.XXX', 'XXX.X'),
+    "書": ('.X...', 'XXXXX', '.X...', 'XXXXX', '..X..', 'XXXXX', 'X...X'),
+    "朝": ('.XXXX', 'XXX.X', '.XXXX', 'XXX.X', '.XXXX', 'X...X', '.X.X.'),
+    "来": ('XXXXX', '..X..', 'X.X.X', '.XXX.', 'XXXXX', '.X.X.', 'X...X'),
+    "東": ('..X..', 'XXXXX', 'X.X.X', 'XXXXX', '.XXX.', 'X.X.X', 'X.X.X'),
+    "楽": ('X.X.X', '.XXX.', 'X.X.X', 'XXXXX', '..X..', '.XXX.', 'X.X.X'),
+    "歌": ('XX.X.', 'XX.XX', 'XX.X.', 'XXXX.', '..X.X', '.X..X', 'X...X'),
+    "止": ('.X..X', '.X..X', '.XXXX', '.X..X', '.X..X', '.X..X', 'XXXXX'),
+    "歩": ('.X.X.', '.XXXX', '.X...', 'XXXXX', 'X.X.X', '...X.', '.XX..'),
+    "母": ('XXXX.', 'X.X.X', 'XXXXX', 'X.X.X', '.XXXX', '..X..', 'XXXXX'),
+    "毎": ('..X..', 'XXXX.', 'X.X.X', 'XXXXX', 'X.X.X', '.XXXX', '...X.'),
+    "毛": ('.XXXX', '..X..', 'XXXXX', '..X..', '..X.X', '..X.X', '.XXX.'),
+    "池": ('.X.X.', 'X.XX.', '.XXXX', 'X.XX.', '.XX.X', 'X.X.X', 'X.XXX'),
+    "汽": ('X..X.', '.XXXX', 'X.X..', '.XXXX', 'X...X', '.X.X.', 'X...X'),
+    "活": ('.X.XX', 'X..X.', '.XXXX', 'X..X.', '.X.X.', 'X.XXX', '.X..X'),
+    "海": ('.X.X.', 'X.XXX', '.X..X', 'X...X', '.XXXX', 'X...X', '.X.X.'),
+    "点": ('..X..', 'XXXXX', '.XXX.', '.X.X.', '.XXX.', 'X.X.X', 'X.X.X'),
+    "父": ('X...X', '.X.X.', '..X..', '.X.X.', 'X...X', '.X.X.', '..X..'),
+    "牛": ('.X.X.', '..XX.', 'XXXXX', '..X..', 'XXXXX', '..X..', '..X..'),
+    "理": ('XXXXX', '.XX.X', '.XXXX', 'XX.X.', '.XXXX', '.X.X.', 'XXXXX'),
+    "用": ('.XXXX', '.X.X.', '.X.X.', 'XXXXX', 'X..X.', 'X..X.', 'X..XX'),
+    "画": ('XXXXX', '..X..', 'XXXXX', 'X.XX.', 'X.XX.', 'X...X', 'XXXXX'),
+    "番": ('.X.X.', 'X.X.X', '.XXX.', 'XXXXX', 'X.X.X', 'X.X.X', 'XXXXX'),
+    "直": ('..X..', 'XXXXX', 'X.XXX', 'X.X.X', 'X.XXX', 'X....', 'XXXXX'),
+    "矢": ('...X.', '.XX..', 'XXXXX', '..X..', 'XXXXX', '.X.X.', 'X...X'),
+    "知": ('.X...', 'XXXXX', '.X.XX', 'XX..X', '.X..X', 'X..XX', 'X..X.'),
+    "社": ('X..X.', 'XX.X.', 'X.XXX', 'XX.X.', 'X..X.', 'X..X.', 'X.XXX'),
+    "秋": ('X.X.X', 'XXXX.', 'X..X.', 'XX.X.', 'X..X.', 'XX.XX', 'X.X.X'),
+    "科": ('X..X.', 'XX.X.', 'X..XX', 'XXXX.', 'X..X.', 'XX.X.', 'X..X.'),
+    "答": ('X.X.X', 'XXXXX', '..X..', '.X.X.', 'XXXXX', 'X...X', 'XXXXX'),
+    "算": ('X.X.X', 'XXXXX', 'X...X', 'XXXXX', 'X...X', 'XXXXX', '.X.X.'),
+    "米": ('X.X.X', '.XXX.', 'XXXXX', '.XXX.', 'X.X.X', '..X..', '..X..'),
+    "紙": ('.XXXX', 'X.X..', '.XXXX', 'X.X.X', '.XX.X', 'XX.XX', '.X..X'),
+    "細": ('X.XXX', 'X...X', 'X.X.X', 'X.XXX', 'X.X.X', 'X...X', 'XXXXX'),
+    "組": ('.XXXX', 'X..X.', '.X.XX', 'X..X.', '.X.XX', 'X..X.', 'XXXXX'),
+    "絵": ('.X.X.', 'X.X.X', '.XXXX', 'X.X..', '.XXXX', 'XX.X.', '.X.XX'),
+    "線": ('.X.X.', 'X.XXX', '.XX.X', 'X.XXX', '.X.X.', 'XX.XX', '.X.X.'),
+    "羽": ('XXXXX', 'X...X', 'XX.XX', 'X...X', 'XX.XX', 'X...X', 'XX.XX'),
+    "考": ('X.X..', 'XXXXX', '..X..', 'XXXXX', '....X', '.XXXX', '...X.'),
+    "聞": ('XXXXX', 'XX.XX', 'X...X', 'X.X.X', 'XXXXX', 'X...X', 'X...X'),
+    "肉": ('XXXXX', 'X...X', 'X.X.X', 'X.X.X', 'XX.XX', 'X...X', 'X...X'),
+    "自": ('.X...', 'XXXXX', 'X...X', 'XXXXX', 'X...X', 'XXXXX', 'XXXXX'),
+    "船": ('.X.X.', 'XX.XX', '.X..X', 'XXXXX', '.X..X', '.X..X', 'XX.XX'),
+    "色": ('..XX.', '.X..X', 'XXXXX', 'X.X.X', 'XXXXX', 'X....', '.XXXX'),
+    "茶": ('.X.X.', 'XXXXX', '..X..', '.X.X.', 'XXXXX', '..X..', '.X.X.'),
+    "行": ('X.XXX', 'XX.X.', 'X..X.', 'XX.X.', 'X..X.', 'X..X.', 'X.XX.'),
+    "西": ('XXXXX', '.X.X.', 'XXXXX', 'X.X.X', 'X.X.X', 'X...X', 'XXXXX'),
+    "親": ('X.X.X', 'XXXXX', 'X.X.X', 'XXXXX', 'XX.XX', 'X...X', 'XX.XX'),
+    "角": ('..XX.', '.X.X.', 'XXXXX', 'X.X.X', 'XXXXX', 'X...X', 'X..XX'),
+    "言": ('XXXXX', '..X..', 'XXXX.', '..X..', '.XXXX', 'X...X', 'XXXXX'),
+    "計": ('X..X.', 'X..X.', 'XXXXX', 'X..X.', 'XX.X.', 'X..X.', 'XX.X.'),
+    "記": ('X.XXX', 'X...X', 'XXXXX', 'X..X.', 'X.XXX', 'X..X.', 'X..XX'),
+    "話": ('X.XX.', 'X...X', 'XXXX.', 'X..X.', 'X.XXX', 'X.X.X', 'X.XXX'),
+    "語": ('X.XXX', 'X..X.', 'X.XXX', 'XX...', 'X.XXX', 'X.X.X', 'X.XXX'),
+    "読": ('X..X.', 'X.XXX', 'XX.X.', 'X.XXX', 'X.X.X', 'XX.XX', 'X...X'),
+    "谷": ('X...X', '.X.X.', '..X..', '.X.X.', 'XXXXX', 'X...X', 'XXXXX'),
+    "買": ('XXXXX', 'X.X.X', 'X.X.X', 'XXXXX', 'X...X', 'XXXXX', 'X.X.X'),
+    "走": ('..X..', 'XXXXX', '..X..', 'XXXXX', '.XX..', 'X.X..', '..XXX'),
+    "近": ('..XXX', 'X.X..', 'X.XXX', 'X.X..', 'X.X..', 'XX...', '.XXXX'),
+    "通": ('..XXX', 'X..X.', 'X.XXX', 'X.X.X', 'X.XXX', 'XX...', '.XXXX'),
+    "週": ('..XXX', 'X.XXX', 'X.X.X', 'X.XXX', 'X.X.X', 'XX...', '.XXXX'),
+    "道": ('....X', 'X.XX.', 'X...X', 'X..X.', 'X.X.X', 'XX...', '.XXXX'),
+    "遠": ('..X.X', 'XXXX.', '..X.X', 'XXXX.', 'X.X..', 'X.X..', 'XXXXX'),
+    "里": ('XXXXX', 'X.X.X', 'XXXXX', '..X..', 'XXXXX', '..X..', 'XXXXX'),
+    "野": ('XXXXX', 'X.X.X', 'XXX.X', 'X.XXX', 'XXX.X', '..X.X', '.XXXX'),
+    "長": ('XXXX.', 'X....', 'XXXX.', 'X....', 'XXXXX', '.X.X.', 'XX.XX'),
+    "門": ('XXXXX', 'XX.XX', 'XX.XX', 'X...X', 'X...X', 'X...X', 'X...X'),
+    "間": ('XXXXX', 'XX.XX', 'X...X', 'XXXXX', 'X.X.X', 'X.X.X', 'X...X'),
+    "雪": ('XXXXX', '..X..', 'X.X.X', '.XXXX', '....X', '.XXXX', '....X'),
+    "雲": ('XXXXX', '..X..', 'XXXXX', 'X.X.X', 'XXXX.', '..X.X', 'XXXXX'),
+    "電": ('XXXXX', '..X..', 'X.X.X', 'XXXXX', '..X.X', 'XXXXX', '....X'),
+    "頭": ('X.XXX', 'XX.X.', 'X.XXX', 'XXX.X', 'X.XXX', 'X..X.', 'XXX.X'),
+    "顔": ('.X.X.', 'XX.XX', '.X.X.', 'XXXXX', 'X.X.X', 'X.XXX', 'X.X.X'),
+    "風": ('XXXXX', 'X.X.X', 'X.X.X', 'X.XXX', 'X.X.X', 'X...X', 'XX.XX'),
+    "食": ('..X..', '.X.X.', 'XXXXX', 'X...X', 'XXXXX', '.X.X.', 'XX..X'),
+    "首": ('X.X.X', 'XXXXX', '.X.X.', '.XXX.', '.X.X.', '.X.X.', '.XXX.'),
+    "馬": ('XXXX.', 'X....', 'XXXX.', 'X....', 'XXXXX', 'X.X.X', '..X.X'),
+    "高": ('..X..', 'XXXXX', '.X.X.', '.XXX.', 'XXXXX', 'X.X.X', 'XXXXX'),
+    "魚": ('..XX.', '.XX..', 'XXXXX', 'X.X.X', 'XXXXX', '..X..', 'XX.XX'),
+    "鳥": ('.XXX.', '.X.X.', '.XXX.', '.X..X', '.XXXX', 'X.X.X', 'XX.XX'),
+    "鳴": ('XXXX.', 'X.X.X', 'XXXX.', '..X.X', '..XXX', '.X..X', '..XXX'),
+    "麦": ('..X..', 'XXXXX', '..X..', 'XXXXX', '.X.X.', '..X..', '.X.XX'),
+    "黄": ('X.X.X', 'XXXXX', '..X..', 'XXXXX', 'X.X.X', 'XXXXX', 'X...X'),
+    "黒": ('XXXXX', 'X...X', 'XXXXX', '..X..', 'XXXXX', 'X.X.X', 'X.X.X'),
+}
+
 _FONT.update(_KANA_FONT)
 _FONT.update(_HIRA_FONT)
 _FONT.update(_KANJI_FONT)
+_FONT.update(_KANJI2_FONT)
 
 # glyphs whose diacritic mark is a SEPARATE connected component
 VOICED_KANA = "がざだばぴぷ"
 # short-class bar glyphs (round 6): not full height, horizontal only
 BAR_KANJI = "一"
 
-_JA_CHARS = set(_KANA_FONT) | set(_HIRA_FONT) | set(_KANJI_FONT)
+_JA_CHARS = (
+    set(_KANA_FONT) | set(_HIRA_FONT) | set(_KANJI_FONT) | set(_KANJI2_FONT)
+)
 ALPHABET = "".join(sorted(set(_FONT) - _JA_CHARS))
 KANA_ALPHABET = "".join(sorted(_JA_CHARS))
 # vertical tiers: tall-class glyphs only (vertical decode has no line

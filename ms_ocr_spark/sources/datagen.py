@@ -1043,8 +1043,10 @@ def write_corpus(out_dir: str, n_docs: int, seed: int = 42, **kw) -> dict[str, s
     #         luminance tint — goldens shared); rgb tier rotates
     #         RGBA / gray+alpha / palette+tRNS layouts (constant-alpha
     #         pre-divide — composite-over-white is bit-exact)
+    # fmt 20: ja charset expands to kyoiku grade-2 kanji (159 of 160;
+    #         charset 289) — ja/ja_vert tiers regenerate
     params = {
-        "fmt": 19,
+        "fmt": 20,
         "n_docs": n_docs,
         "seed": seed,
         **{k: kw[k] for k in sorted(kw) if k != "processes"},

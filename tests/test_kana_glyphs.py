@@ -262,3 +262,40 @@ def test_every_ja_glyph_decodes_under_rotation():
             if deg:
                 img = rotate_bilinear(img, deg)
             assert decode_image(img, "ja") == ch + "ア", (ch, deg)
+
+
+def test_kanji_grade2_coverage_and_homoglyph_policy():
+    """Round 7: the kyoiku grade-2 set is complete minus the single
+    documented homoglyph exclusion (工 == katakana エ at 5x7, same
+    policy as grade-1's 口/ロ)."""
+    from ms_ocr_spark.extraction.ocr.glyphs import _KANJI2_FONT
+
+    G2 = (
+        "引羽雲園遠何科夏家歌画回会海絵外角楽活間丸岩顔汽記帰弓牛魚京強教近兄形計元言原戸古"
+        "午後語工公広交光考行高黄合谷国黒今才細作算止市矢姉思紙寺自時室社弱首秋週春書少場色"
+        "食心新親図数西声星晴切雪船線前組走多太体台地池知茶昼長鳥朝直通弟店点電刀冬当東答"
+        "頭同道読内南肉馬売買麦半番父風分聞米歩母方北毎妹万明鳴毛門夜野友用曜来里理話"
+    )
+    assert len(set(G2)) == 160
+    missing = set(G2) - set(_KANJI2_FONT)
+    assert missing == {"工"}, missing
+    assert len(_KANJI2_FONT) == 159
+
+
+def test_kanji_grade2_rotation_decode_sweep():
+    """Decode-robustness regression (round 7): the deskew path's
+    bilinear counter-rotation + threshold-160 re-binarize FILLS enclosed
+    1x1 holes; dense checkerboard glyphs collapsed to near-solid blocks
+    and decoded as the bar glyph 一 via the short-class retry.  Every
+    grade-2 glyph must survive render -> rotate -> decode at the angles
+    that exposed the failure (+-1.0, +-1.5 deg) in 8-glyph-line form."""
+    from ms_ocr_spark.extraction.ocr.glyphs import _KANJI2_FONT, render_text
+    from ms_ocr_spark.extraction.ocr.kernel import decode_image, rotate_bilinear
+
+    chars = sorted(_KANJI2_FONT)
+    for deg in (-1.5, -1.0, 1.0, 1.5):
+        for i in range(0, len(chars), 8):
+            grp = chars[i : i + 8]
+            line = "".join(grp[:4]) + " " + "".join(grp[4:])
+            img = rotate_bilinear(render_text(line, scale=3), deg)
+            assert decode_image(img, language="ja") == line, (deg, line)
