@@ -1062,7 +1062,8 @@ def jpeg_scope_reason(data: bytes) -> str | None:
                                      untagged, carry an Adobe APP14
                                      transform other than 0/2, or are
                                      progressive; sampling factors
-                                     above 2; non-8-bit precision;
+                                     above 4 or with fractional
+                                     ratios; non-8-bit precision;
                                      arithmetic coding; lossless/
                                      differential/hierarchical frames
 
@@ -1121,10 +1122,15 @@ def jpeg_scope_reason(data: bytes) -> str | None:
                 return "unsupported_jpeg_layout"
             if len(payload) < 6 + 3 * n_comp:
                 return "truncated_jpeg"
+            fs = []
             for ci in range(n_comp):
                 hv = payload[7 + ci * 3]
-                if not (1 <= hv >> 4 <= 2 and 1 <= hv & 0xF <= 2):
-                    return "unsupported_jpeg_layout"
+                fs.append((hv >> 4, hv & 0xF))
+            if not all(1 <= fh <= 4 and 1 <= fv <= 4 for fh, fv in fs):
+                return "unsupported_jpeg_layout"
+            fhm, fvm = max(f[0] for f in fs), max(f[1] for f in fs)
+            if any(fhm % fh or fvm % fv for fh, fv in fs):
+                return "unsupported_jpeg_layout"  # fractional ratio
             saw_sof = True
             progressive = marker == 0xC2
         pos += 2 + seg_len
@@ -1217,8 +1223,8 @@ def jpeg_side_values(data: bytes) -> dict:
 # implements the T.81 multi-component machinery on top of the existing
 # scalar entropy coders:
 #
-#   * baseline SOF0, interleaved MCU scans, chroma subsampling 4:4:4 and
-#     4:2:0 (sampling factors 1..2), restart intervals (DRI/RSTn reset
+#   * baseline SOF0, interleaved MCU scans, chroma subsampling 4:4:4 /
+#     4:2:2 / 4:2:0 / 4:1:1 / 4:4:0, restart intervals (DRI/RSTn reset
 #     every component's DC predictor and re-byte-align);
 #   * progressive SOF2 per T.81 Annex G: the DC scans interleave across
 #     components in MCU order, AC scans are non-interleaved (Ns=1, spec
@@ -1230,10 +1236,11 @@ def jpeg_side_values(data: bytes) -> dict:
 #     path, so golden metadata measured on BT.601 luminance is shared.
 #
 # Scope after this section: 1- or 3-component, 8-bit, baseline OR
-# progressive, sampling factors {1,2}; DRI supported for baseline AND
-# progressive (final round-6 scope).  4-component CMYK/YCCK baseline
-# decodes via the later Adobe APP14 section.  Still out: arithmetic
-# coding, lossless/hierarchical frames, 12-bit, sampling factors > 2,
+# progressive, sampling factors 1..4 with integer ratios (4:4:4/4:2:2/
+# 4:2:0/4:1:1/4:4:0 — round 7); DRI supported for baseline AND
+# progressive.  4-component CMYK/YCCK baseline decodes via the later
+# Adobe APP14 section.  Still out: arithmetic coding, lossless/
+# hierarchical frames, 12-bit, fractional sampling ratios,
 # untagged/unknown-transform/progressive 4-component —
 # `jpeg_scope_reason` classifies those.
 # ---------------------------------------------------------------------------
@@ -1277,6 +1284,8 @@ _SUBSAMPLING = {
     "444": ((1, 1), (1, 1), (1, 1)),
     "422": ((2, 1), (1, 1), (1, 1)),  # horizontal-only chroma subsample
     "420": ((2, 2), (1, 1), (1, 1)),
+    "411": ((4, 1), (1, 1), (1, 1)),  # 4x horizontal (DV/camcorder) r7
+    "440": ((1, 2), (1, 1), (1, 1)),  # vertical-only chroma subsample r7
 }
 
 
@@ -1638,12 +1647,17 @@ def _decode_jpeg_planes(data: bytes, expect_comps: int) -> list[np.ndarray]:
                 cid = payload[6 + ci * 3]
                 fh, fv = payload[7 + ci * 3] >> 4, payload[7 + ci * 3] & 0xF
                 tq = payload[8 + ci * 3]
-                if not (1 <= fh <= 2 and 1 <= fv <= 2):
-                    raise ValueError("sampling factors outside 1..2")
+                if not (1 <= fh <= 4 and 1 <= fv <= 4):
+                    raise ValueError("sampling factors outside 1..4")
                 comps.append((cid, fh, fv, tq))
                 factors.append((fh, fv))
             hmax = max(f[0] for f in factors)
             vmax = max(f[1] for f in factors)
+            # integer-ratio upsampling only (covers every layout real
+            # cameras emit: 4:4:4/4:2:2/4:2:0/4:1:1/4:4:0 — round 7);
+            # fractional ratios (e.g. 3:2) stay out of scope
+            if any(hmax % fh or vmax % fv for fh, fv in factors):
+                raise ValueError("non-integer sampling ratio")
             mcux = (w + 8 * hmax - 1) // (8 * hmax)
             mcuy = (h + 8 * vmax - 1) // (8 * vmax)
             zz = [

@@ -284,9 +284,9 @@ def quarantine_invalid_media(docs: DataFrame, media: DataFrame) -> DataFrame:
     `reason` values: `missing` (no payload row), `invalid` (magic-byte /
     size rejection), `truncated_jpeg` (JPEG whose marker walk ends
     before a scan), `unsupported_jpeg_layout` (arithmetic / lossless /
-    hierarchical coding, 12-bit precision, sampling factors above 2,
-    and 4-component frames that are untagged, carry an unknown Adobe
-    transform, or are progressive) and `unsupported_tiff_layout`
+    hierarchical coding, 12-bit precision, sampling factors above 4 or
+    fractional sampling ratios, and 4-component frames that are
+    untagged, carry an unknown Adobe transform, or are progressive) and `unsupported_tiff_layout`
     (exotic compression / photometric) — all quarantined BY DESIGN by
     the codecs; the distinct reasons let a corpus operator see the
     decode-scope cost (VERDICT r3 item 7).  Progressive (SOF2) JPEGs

@@ -835,7 +835,7 @@ def _gen_chunk(args: tuple) -> tuple[list, list, list, list, list]:
                         icc_name=side["icc"][0] if side["icc"] else None,
                         exif_orientation=side["orientation"],
                     )
-                    variant = hc % 9
+                    variant = hc % 11
                     if variant == 0:
                         payload = encode_color_jpeg(rgb, "444", **ckw)
                     elif variant == 1:
@@ -855,9 +855,16 @@ def _gen_chunk(args: tuple) -> tuple[list, list, list, list, list]:
                     elif variant == 7:
                         # 4-component Adobe CMYK (print-workflow JPEGs)
                         payload = encode_cmyk_jpeg(rgb, **ckw)
-                    else:
+                    elif variant == 8:
                         # 4-component Adobe YCCK (transform 2)
                         payload = encode_ycck_jpeg(rgb, **ckw)
+                    elif variant == 9:
+                        # 4:1:1 — the DV/camcorder layout (round 7,
+                        # sampling factor 4 now in decode scope)
+                        payload = encode_color_jpeg(rgb, "411", **ckw)
+                    else:
+                        # 4:4:0 — vertical-only chroma subsample
+                        payload = encode_color_jpeg_progressive(rgb, "440", **ckw)
                     dec = _dec_jpg(payload)
                     meta_rows.append(
                         {
@@ -1045,8 +1052,10 @@ def write_corpus(out_dir: str, n_docs: int, seed: int = 42, **kw) -> dict[str, s
     #         pre-divide — composite-over-white is bit-exact)
     # fmt 20: ja charset expands to kyoiku grade-2 kanji (159 of 160;
     #         charset 289) — ja/ja_vert tiers regenerate
+    # fmt 21: color-JPEG tier adds 4:1:1 (baseline) and 4:4:0
+    #         (progressive) variants — sampling factor 4 decodes
     params = {
-        "fmt": 20,
+        "fmt": 21,
         "n_docs": n_docs,
         "seed": seed,
         **{k: kw[k] for k in sorted(kw) if k != "processes"},

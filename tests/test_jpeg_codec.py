@@ -888,3 +888,67 @@ def test_app14_probe_skips_fill_bytes():
     padded = b[:2] + b"\xff\xff\xff" + b[2:]
     assert adobe_app14_transform(padded) == 0
     assert jpeg_scope_reason(padded) is None
+
+
+def test_color_jpeg_411_440_round_trip():
+    """Round 7: sampling factors up to 4 with integer ratios decode —
+    4:1:1 (DV/camcorder) and 4:4:0 (vertical-only) in BOTH frame types;
+    luminance is bit-identical between baseline and progressive."""
+    from ms_ocr_spark.extraction.ocr.jpeg import (
+        decode_gray_jpeg,
+        encode_color_jpeg,
+        encode_color_jpeg_progressive,
+        jpeg_scope_reason,
+    )
+
+    rng = np.random.default_rng(29)
+    rgb = rng.integers(0, 256, (41, 67, 3), dtype=np.uint8)
+    for sub in ("411", "440"):
+        b = encode_color_jpeg(rgb, subsampling=sub)
+        p = encode_color_jpeg_progressive(rgb, subsampling=sub)
+        assert jpeg_scope_reason(b) is None and jpeg_scope_reason(p) is None
+        gb, gp = decode_gray_jpeg(b), decode_gray_jpeg(p)
+        assert gb.shape == (41, 67)
+        assert np.array_equal(gb, gp), sub
+
+
+def test_fractional_sampling_ratio_quarantines():
+    """Factors that don't divide the max (e.g. Y 3x2 with Cb 2x1) are a
+    fractional upsampling ratio — distinct scope reason, decode raises."""
+    import struct
+
+    from ms_ocr_spark.extraction.ocr.jpeg import (
+        decode_gray_jpeg,
+        encode_color_jpeg,
+        jpeg_scope_reason,
+    )
+
+    rgb = np.full((24, 24, 3), 128, np.uint8)
+    b = bytearray(encode_color_jpeg(rgb, subsampling="420"))
+    i = b.find(b"\xff\xc0")
+    b[i + 2 + 8 + 1] = (3 << 4) | 2  # Y -> 3x2
+    b[i + 2 + 8 + 4] = (2 << 4) | 1  # Cb -> 2x1 (3 % 2 != 0)
+    assert jpeg_scope_reason(bytes(b)) == "unsupported_jpeg_layout"
+    with pytest.raises(ValueError):
+        decode_gray_jpeg(bytes(b))
+
+
+def test_color_tier_rotates_411_and_440():
+    """The color tier rotates the new layouts and every payload still
+    OCRs exactly (goldens measure decoded luminance)."""
+    from ms_ocr_spark.extraction.ocr import decode_media
+    from ms_ocr_spark.extraction.ocr.kernel import decode_image as kdecode
+    from ms_ocr_spark.sources.datagen import gen_corpus
+
+    _, media, _, _, _ = gen_corpus(24, seed=67, color_jpeg_pct=0.8, processes=1)
+    subs = set()
+    for row in media.to_pylist():
+        buf = bytes(row["payload"])
+        if buf[:2] == b"\xff\xd8":
+            i = buf.find(b"\xff\xc0")
+            i = i if i != -1 else buf.find(b"\xff\xc2")
+            if i != -1 and buf[i + 9] == 3:
+                subs.add(buf[i + 2 + 8 + 1])  # first comp factors byte
+        assert kdecode(decode_media(buf)) == row["truth_text"]
+    assert 0x41 in subs, subs  # 4x1 (4:1:1)
+    assert 0x12 in subs, subs  # 1x2 (4:4:0)
