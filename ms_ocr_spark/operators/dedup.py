@@ -20,15 +20,32 @@ Scale notes:
 from __future__ import annotations
 
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ms_ocr_spark.functions.hashing import MERSENNE31, md5_long, perm_params
-from ms_ocr_spark.plans import cache as _plan_cache
 from ms_ocr_spark.plans.cache import track
 
 TOKEN_PATTERN = "\\s+"
+
+
+def _fanout(df: DataFrame) -> DataFrame:
+    """Ensure at least cluster-width parallelism ahead of a per-row Arrow
+    stage (round 8, guide §2.5 input skew / §6 input splits): a small
+    corpus often arrives as ONE parquet row group, which pins the whole
+    UDF stage to a single scan task regardless of cores — and
+    `maxPartitionBytes` cannot split below row-group granularity.  The
+    fan-out is a no-op when the scan is already at least cluster-wide
+    (so a 100-TB input with thousands of natural splits is never
+    re-shuffled), and the width derives from the context
+    (defaultParallelism), never a local constant."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
 
 
 def tokens_col(text_col: str = "text"):
@@ -44,6 +61,13 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: i
     Linear construction: one `transform` with O(1) `get` lookups, then one
     `slice` to drop the ragged tail.  (A per-index `F.slice` call is
     O(n^2) per document and measured ~50x slower.)
+
+    Per-doc distinctness is enforced with `array_distinct` BEFORE the
+    explode (round 8): the former `.distinct()` over the exploded
+    (id, shingle) rows shuffled the entire shingle relation — the widest
+    relation in the dedup suite — purely to dedupe within single
+    documents, which the per-row array op does with zero data movement
+    (guide §2.4: remove shuffles outright).  Same multiset of rows.
     """
     toks = df.select(id_col, tokens_col(text_col).alias("t"))
     full = F.transform(
@@ -53,8 +77,7 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: i
         ),
     )
     sh_arr = F.slice(full, F.lit(1), F.greatest(F.size("t") - (n - 1), F.lit(0)))
-    sh = toks.select(id_col, F.explode(sh_arr).alias("shingle"))
-    return sh.distinct()
+    return toks.select(id_col, F.explode(F.array_distinct(sh_arr)).alias("shingle"))
 
 
 def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -94,6 +117,69 @@ def minhash_signature_arrays(
     )
 
 
+def minhash_signature_arrays_from_docs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig: array<long>[num_hashes]) straight from the documents —
+    the signature is a pure per-document function, so it is computed
+    row-locally in one Arrow batch pass (round 8, guide §4.2): tokenize
+    stays in the JVM (identical split/lower semantics), the UDF builds
+    the per-doc distinct shingle set, hashes each shingle with the exact
+    md5-prefix integer the relational path uses, and takes the
+    `num_hashes` universal-hash minima with vectorized int64 math
+    (a < 2^31 and h < 2^31-1, so a*h+b < 2^62 never overflows — the
+    same bound the JVM/oracle expressions rely on).  Values are
+    bit-identical to `minhash_signature_arrays(shingles(df))`; docs with
+    fewer than `shingle_n` tokens drop out in both.  No shuffle at all —
+    the former explode + min-aggregate moved every (doc, shingle) row
+    through an exchange.
+    """
+    import numpy as np
+
+    params = perm_params(num_hashes)
+    A = np.array([a for a, _ in params], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in params], dtype=np.int64)[:, None]
+
+    @F.pandas_udf("array<long>")
+    def _sig(toks: pd.Series) -> pd.Series:
+        import hashlib
+
+        out = []
+        for t in toks:
+            if t is None or len(t) < shingle_n:
+                out.append(None)
+                continue
+            sh = {
+                " ".join(t[i : i + shingle_n])
+                for i in range(len(t) - shingle_n + 1)
+            }
+            h = np.fromiter(
+                (
+                    int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                    % MERSENNE31
+                    for s in sh
+                ),
+                dtype=np.int64,
+                count=len(sh),
+            )
+            out.append(((A * h[None, :] + B) % MERSENNE31).min(axis=1).tolist())
+        return pd.Series(out, dtype=object)
+
+    # non-deterministic mark (guide §4.4): the no-shingle filter on the
+    # UDF-computed column otherwise makes the optimizer evaluate the UDF
+    # once below the pushed filter and again in every consuming
+    # projection — measured 4 ArrowEvalPython nodes for one call site.
+    _sig_once = _sig.asNondeterministic()
+    toks = _fanout(df).select(id_col, tokens_col(text_col).alias("t"))
+    return toks.select(id_col, _sig_once("t").alias("sig")).filter(
+        F.col("sig").isNotNull()
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -102,13 +188,15 @@ def minhash_signatures(
     shingle_n: int = 3,
 ) -> DataFrame:
     """(id, salt, minhash) — min over md5-salted shingle hashes, computed
-    via the one-pass array aggregation and unpivoted for the public schema.
+    via the one-pass per-document Arrow UDF and unpivoted for the public
+    schema.
 
     Docs with fewer than shingle_n tokens have no shingles and drop out
     (standard minhash behavior).
     """
-    sh = shingles(df, id_col, text_col, shingle_n)
-    arr = minhash_signature_arrays(sh, id_col, num_hashes)
+    arr = minhash_signature_arrays_from_docs(
+        df, id_col, text_col, num_hashes, shingle_n
+    )
     return arr.select(id_col, F.posexplode("sig").alias("salt", "minhash"))
 
 
@@ -227,35 +315,66 @@ def jaccard_verify(
     threshold: float = 0.0,
     shingles_df: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard for candidate pairs via distinct-shingle counts.
+    """Exact n-gram Jaccard for candidate pairs via per-pair set
+    intersection (round 8, guide §2.3/§4.2).
 
-    jaccard = |A ∩ B| / |A ∪ B| computed from group sizes (integer math
-    until the final division).  Pass `shingles_df` (e.g. a persisted
-    shingle relation already built for the minhash stage) to avoid
-    re-deriving shingles from the raw text.
+    jaccard = |A ∩ B| / |A ∪ B|, integer math until the final division.
+    The candidate set is LSH-bounded (orders of magnitude smaller than
+    the corpus), so the token arrays of each pair's two documents are
+    attached by two id equi-joins — narrow relations, broadcast-friendly
+    under AQE — and ONE Arrow stage computes the exact distinct-shingle
+    counts per pair.  The former shape instead joined the candidate list
+    against the full corpus-wide (doc, shingle) relation TWICE (the
+    second time keyed on (id, shingle), i.e. a full shuffle of the
+    widest relation in the suite) plus a per-doc size aggregation.
+    Semantics are identical: pairs with no common shingle (or a doc too
+    short to have any) drop out, the threshold compares the UNROUNDED
+    ratio (identical IEEE double in any engine — filtering on the
+    rounded value would pass pairs within 5e-7 below the threshold), and
+    the published `jaccard` column is 6-dp rounded in the JVM.
+    `shingles_df` is accepted for backward compatibility and ignored —
+    shingle sets are rebuilt per pair from the token arrays (equality of
+    space-joined shingles == equality of token tuples).
     """
-    sh = shingles_df if shingles_df is not None else shingles(df, id_col, text_col, shingle_n)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a_sh = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b_sh = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        pairs.join(a_sh, "id_a")
-        .join(b_sh, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    # threshold compares the UNROUNDED ratio (ints -> identical IEEE double
-    # in any engine); the output column is rounded for display/hash parity.
-    # Filtering on the rounded value would pass pairs within 5e-7 below the
-    # threshold that the exact comparison rejects.
+
+    @F.pandas_udf("struct<n_inter:long,n_a:long,n_b:long>")
+    def _inter(ta: pd.Series, tb: pd.Series) -> pd.DataFrame:
+        ni, na, nb = [], [], []
+        for a, b in zip(ta, tb):
+            sa = (
+                {
+                    " ".join(a[i : i + shingle_n])
+                    for i in range(len(a) - shingle_n + 1)
+                }
+                if a is not None and len(a) >= shingle_n
+                else set()
+            )
+            sb = (
+                {
+                    " ".join(b[i : i + shingle_n])
+                    for i in range(len(b) - shingle_n + 1)
+                }
+                if b is not None and len(b) >= shingle_n
+                else set()
+            )
+            ni.append(len(sa & sb))
+            na.append(len(sa))
+            nb.append(len(sb))
+        return pd.DataFrame({"n_inter": ni, "n_a": na, "n_b": nb})
+
+    toks = df.select(F.col(id_col), tokens_col(text_col).alias("t"))
+    a = toks.select(F.col(id_col).alias("id_a"), F.col("t").alias("t_a"))
+    b = toks.select(F.col(id_col).alias("id_b"), F.col("t").alias("t_b"))
+    wide = pairs.join(a, "id_a").join(b, "id_b")
+    counted = wide.select(
+        "id_a", "id_b", _inter.asNondeterministic()("t_a", "t_b").alias("_j")
+    ).select("id_a", "id_b", "_j.n_inter", "_j.n_a", "_j.n_b")
     ratio = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
-    out = (
-        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+    return (
+        counted.filter(F.col("n_inter") > 0)
         .filter(ratio >= threshold)
         .withColumn("jaccard", F.round(ratio, 6))
     )
-    return out
 
 
 def duplicate_passage_spans(
@@ -285,25 +404,65 @@ def duplicate_passage_spans(
     Output: (id_col, start_tok, end_tok, n_grams) — token offsets are
     0-based, end exclusive.
     """
-    toks = df.select(id_col, tokens_col(text_col).alias("t"))
-    full = F.transform(
-        "t",
-        lambda x, i: F.concat_ws(
-            " ", x, *[F.get("t", i + j) for j in range(1, k)]
-        ),
-    )
-    sliced = F.slice(full, F.lit(1), F.greatest(F.size("t") - (k - 1), F.lit(0)))
-    grams = toks.select(id_col, F.posexplode(sliced).alias("pos", "gram"))
+    # gram construction + hashing is a pure per-document function, so it
+    # runs row-locally in one Arrow pass (round 8, guide §4.2): tokenize
+    # stays in the JVM, the UDF joins each k-token window and hashes it
+    # with the exact md5-prefix integer `md5_long` produces — the former
+    # interpreted transform/get/concat_ws chain evaluated ~k lambda calls
+    # per position per document.  Output rows are identical.
+    toks = _fanout(df).select(id_col, tokens_col(text_col).alias("t"))
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def _grams(batches):
+        import hashlib
+
+        for pdf in batches:
+            ids_out: list = []
+            pos_out: list = []
+            gh_out: list = []
+            for did, t in zip(pdf[id_col], pdf["t"]):
+                if t is None:
+                    continue
+                for i in range(max(len(t) - (k - 1), 0)):
+                    ids_out.append(did)
+                    pos_out.append(i)
+                    gh_out.append(
+                        int(
+                            hashlib.md5(
+                                " ".join(t[i : i + k]).encode()
+                            ).hexdigest()[:15],
+                            16,
+                        )
+                    )
+            yield pd.DataFrame(
+                {id_col: ids_out, "pos": pos_out, "gh": gh_out}
+            )
+
     # persist: the duplicated-gram aggregate AND the position join both
     # read this relation — without the cache the tokenize+gram+hash
     # subtree runs twice over the full corpus
-    gh = track(grams.select(id_col, "pos", md5_long(F.col("gram")).alias("gh")))
-    dup = (
-        gh.groupBy("gh")
-        .agg(F.countDistinct(id_col).alias("nd"))
-        .filter(F.col("nd") >= min_docs)
-        .select("gh")
+    gh = track(
+        toks.mapInPandas(_grams, f"{id_col} {id_type}, pos int, gh long")
     )
+    if min_docs == 2:
+        # "appears in >= 2 distinct docs" == min(doc) != max(doc): both
+        # map-side-combinable, ONE exchange of (gh, min, max) partials —
+        # the count-distinct formulation pays a second full exchange of
+        # (gh, id) pairs for an exact count the predicate never needs
+        # (round 8, guide §2.3: aggregate before you shuffle)
+        dup = (
+            gh.groupBy("gh")
+            .agg(F.min(id_col).alias("_mn"), F.max(id_col).alias("_mx"))
+            .filter(F.col("_mn") != F.col("_mx"))
+            .select("gh")
+        )
+    else:
+        dup = (
+            gh.groupBy("gh")
+            .agg(F.countDistinct(id_col).alias("nd"))
+            .filter(F.col("nd") >= min_docs)
+            .select("gh")
+        )
     flagged = gh.join(dup, "gh").select(
         id_col,
         F.col("pos").cast("long").alias("start_tok"),
@@ -335,43 +494,68 @@ def doc_repetition_stats(
                          F.max over struct(c, gram), mirrored by the
                          oracle's ORDER BY gram DESC)
 
-    One explode + one per-(doc, gram) count + one per-doc aggregate —
-    all map-side-combinable, no joins, no Python.
+    The stats are a pure PER-DOCUMENT function of the token array, so
+    they are computed row-locally inside one Arrow-batched UDF (round 8,
+    guide §2.4/§4.2): the former explode + groupBy(doc, gram) +
+    groupBy(doc) pipeline shuffled every gram occurrence of the corpus
+    TWICE just to count repetitions that never leave their document.
+    The UDF returns only exact integer counts (gram equality on token
+    tuples == equality of the space-joined gram strings, because tokens
+    cannot contain whitespace); the fractions, their rounding and the
+    zero-gram-doc drop (explode semantics) stay in the JVM expressions,
+    bit-identical to the previous plan.  The tie-break note below is
+    moot for the output: ties share the same count, and only the count
+    is published.
     """
-    toks = df.select(id_col, tokens_col(text_col).alias("t"))
-    full = F.transform(
-        "t",
-        lambda x, i: F.concat_ws(
-            " ", x, *[F.get("t", i + k) for k in range(1, n)]
-        ),
+
+    @F.pandas_udf(
+        "struct<n_grams:long,n_distinct:long,n_dup_positions:long,top_c:long>"
     )
-    sliced = F.slice(full, F.lit(1), F.greatest(F.size("t") - (n - 1), F.lit(0)))
-    grams = toks.select(id_col, F.explode(sliced).alias("gram"))
-    per_gram = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
-    agg = per_gram.groupBy(id_col).agg(
-        F.sum("c").cast("long").alias("n_grams"),
-        F.count(F.lit(1)).cast("long").alias("n_distinct"),
-        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
-        .cast("long")
-        .alias("n_dup_positions"),
-        F.max(F.struct(F.col("c"), F.col("gram"))).alias("_top"),
+    def _rep_counts(toks: pd.Series) -> pd.DataFrame:
+        from collections import Counter
+
+        ng, nd, ndup, top = [], [], [], []
+        for t in toks:
+            if t is None or len(t) < n:
+                ng.append(0), nd.append(0), ndup.append(0), top.append(0)
+                continue
+            c = Counter(zip(*[t[i : len(t) - (n - 1) + i] for i in range(n)]))
+            total = len(t) - (n - 1)
+            singles = sum(1 for v in c.values() if v == 1)
+            ng.append(total)
+            nd.append(len(c))
+            ndup.append(total - singles)
+            top.append(max(c.values()))
+        return pd.DataFrame(
+            {
+                "n_grams": ng,
+                "n_distinct": nd,
+                "n_dup_positions": ndup,
+                "top_c": top,
+            }
+        )
+
+    # non-deterministic mark (guide §4.4): the zero-gram filter and the
+    # four consuming field projections otherwise each re-evaluate the UDF.
+    _rep_once = _rep_counts.asNondeterministic()
+    toks = _fanout(df).select(id_col, tokens_col(text_col).alias("t"))
+    agg = toks.select(id_col, _rep_once("t").alias("_c")).filter(
+        F.col("_c.n_grams") > 0
     )
-    # top gram by count with DETERMINISTIC tie-break: max over struct(c,
-    # gram) picks the lexicographically LARGEST gram among ties — mirror
-    # that exact rule in the oracle
     return agg.select(
         id_col,
-        "n_grams",
-        "n_distinct",
+        F.col("_c.n_grams").alias("n_grams"),
+        F.col("_c.n_distinct").alias("n_distinct"),
         F.round(
             F.when(
-                F.col("n_grams") > 0, F.col("n_dup_positions") / F.col("n_grams")
+                F.col("_c.n_grams") > 0,
+                F.col("_c.n_dup_positions") / F.col("_c.n_grams"),
             ).otherwise(F.lit(0.0)),
             6,
         ).alias("dup_gram_frac"),
         F.round(
             F.when(
-                F.col("n_grams") > 0, F.col("_top.c") / F.col("n_grams")
+                F.col("_c.n_grams") > 0, F.col("_c.top_c") / F.col("_c.n_grams")
             ).otherwise(F.lit(0.0)),
             6,
         ).alias("top_gram_frac"),
@@ -383,30 +567,62 @@ def _containment_candidates(
 ) -> DataFrame:
     """(inner_id, outer_id) candidate pairs for `containment_dedup_pairs`
     via the rarest-gram anchor (see its docstring for why rarest, not
-    first).  Factored out so the skew test can count candidates."""
-    toks = df.select(id_col, tokens_col(text_col).alias("t"))
-    full = F.transform(
-        "t",
-        lambda x, i: F.concat_ws(
-            " ", x, *[F.get("t", i + j) for j in range(1, k)]
-        ),
-    )
-    sliced = F.slice(full, F.lit(1), F.greatest(F.size("t") - (k - 1), F.lit(0)))
-    # distinct (doc, gram): consumed three times (frequency agg, anchor
-    # pick, outer side) -> persisted via track()
+    first).  Factored out so the skew test can count candidates.
+
+    Round 8 (guide §2.3/§2.4/§4.2): the gram relation carries md5-prefix
+    LONGS, never the ~50-byte gram strings — every downstream move
+    (frequency aggregation, anchor pick, outer-side equi-join) shuffles
+    a quarter of the bytes — and the per-doc-distinct hashed relation is
+    built row-locally in one Arrow pass instead of the interpreted
+    transform/get/concat_ws chain plus a corpus-wide `.distinct()`
+    shuffle.  Correctness is unaffected BY CONSTRUCTION: candidates only
+    need to be a superset of the truly-contained pairs (the exact
+    space-padded `contains` verify decides membership), any single gram
+    of the inner doc is a complete anchor, and a hash collision can only
+    merge two grams' doc sets, i.e. ADD candidates.  The rarest-anchor
+    tie-break is now (gdf, gram_hash) rather than (gdf, gram) — equally
+    deterministic, same fan-out bound.
+    """
+    toks = _fanout(df).select(id_col, tokens_col(text_col).alias("t"))
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def _dgrams(batches):
+        import hashlib
+
+        for pdf in batches:
+            ids_out: list = []
+            gh_out: list = []
+            for did, t in zip(pdf[id_col], pdf["t"]):
+                if t is None:
+                    continue
+                seen = {
+                    int(
+                        hashlib.md5(
+                            " ".join(t[i : i + k]).encode()
+                        ).hexdigest()[:15],
+                        16,
+                    )
+                    for i in range(max(len(t) - (k - 1), 0))
+                }
+                ids_out.extend([did] * len(seen))
+                gh_out.extend(seen)
+            yield pd.DataFrame({id_col: ids_out, "gh": gh_out})
+
+    # distinct (doc, gram-hash): consumed three times (frequency agg,
+    # anchor pick, outer side) -> persisted via track()
     doc_grams = track(
-        toks.select(id_col, F.explode(sliced).alias("gram")).distinct()
+        toks.mapInPandas(_dgrams, f"{id_col} {id_type}, gh long")
     )
-    gram_freq = doc_grams.groupBy("gram").agg(F.count(F.lit(1)).alias("gdf"))
+    gram_freq = doc_grams.groupBy("gh").agg(F.count(F.lit(1)).alias("gdf"))
     rarest = (
-        doc_grams.join(gram_freq, "gram")
+        doc_grams.join(gram_freq, "gh")
         .groupBy(id_col)
-        .agg(F.min(F.struct(F.col("gdf"), F.col("gram"))).alias("_m"))
-        .select(F.col(id_col).alias("inner_id"), F.col("_m.gram").alias("gram"))
+        .agg(F.min(F.struct(F.col("gdf"), F.col("gh"))).alias("_m"))
+        .select(F.col(id_col).alias("inner_id"), F.col("_m.gh").alias("gh"))
     )
     return (
         rarest.join(
-            doc_grams.select(F.col(id_col).alias("outer_id"), "gram"), "gram"
+            doc_grams.select(F.col(id_col).alias("outer_id"), "gh"), "gh"
         )
         .filter(F.col("inner_id") != F.col("outer_id"))
         .select("inner_id", "outer_id")
@@ -475,32 +691,52 @@ def simhash_signatures(
     bits: int = 16,
 ) -> DataFrame:
     """Per-doc SimHash over token md5-hashes (bit b set when the sum of
-    ±1 votes across tokens is positive).  Token multiplicity counts."""
-    toks = df.select(id_col, F.explode(tokens_col(text_col)).alias("tok"))
-    h = toks.select(id_col, md5_long(F.col("tok")).alias("h"))
-    votes = h.select(
-        id_col,
-        *[
-            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-            .alias(f"b{b}")
-            for b in range(bits)
-        ],
+    ±1 votes across tokens is positive).  Token multiplicity counts.
+
+    Round 8 (guide §4.2): the signature is a pure per-document function,
+    so it is computed row-locally in one Arrow pass — tokenize stays in
+    the JVM, the UDF hashes each token with the exact md5-prefix integer
+    of the relational path and packs the vote signs with vectorized
+    int64 bit math.  The former explode + 16/32 vote columns +
+    groupBy(doc) moved one row per TOKEN through an exchange to count
+    votes that never leave their document.  Docs with no tokens drop out
+    in both formulations; values are bit-identical (integer math only).
+    """
+    import numpy as np
+
+    bit_idx = np.arange(bits, dtype=np.int64)
+
+    @F.pandas_udf("long")
+    def _sim(toks: pd.Series) -> pd.Series:
+        import hashlib
+
+        out = []
+        for t in toks:
+            if t is None or len(t) == 0:
+                out.append(None)
+                continue
+            h = np.fromiter(
+                (
+                    int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                    for s in t
+                ),
+                dtype=np.int64,
+                count=len(t),
+            )
+            votes = (((h[:, None] >> bit_idx[None, :]) & 1) * 2 - 1).sum(
+                axis=0
+            )
+            out.append(int(((votes > 0).astype(np.int64) << bit_idx).sum()))
+        return pd.Series(out, dtype=object)
+
+    # non-deterministic mark (guide §4.4): see
+    # minhash_signature_arrays_from_docs — stops the optimizer from
+    # duplicating the UDF around the no-token filter.
+    _sim_once = _sim.asNondeterministic()
+    toks = _fanout(df).select(id_col, tokens_col(text_col).alias("t"))
+    return toks.select(id_col, _sim_once("t").alias("simhash")).filter(
+        F.col("simhash").isNotNull()
     )
-    agg = votes.groupBy(id_col).agg(
-        *[F.sum(f"b{b}").alias(f"s{b}") for b in range(bits)]
-    )
-    sim = agg.select(
-        id_col,
-        sum(
-            [
-                F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-                for b in range(bits)
-            ],
-            F.lit(0),
-        ).alias("simhash"),
-    )
-    return sim
 
 
 def simhash_near_dup_pairs(
@@ -528,64 +764,62 @@ def simhash_near_dup_pairs(
             f"{n_bands - 1} (got {max_hamming}); raise n_bands"
         )
     band_width = bits // n_bands
-    sig = track(simhash_signatures(df, id_col, text_col, bits))
-    bands = sig.select(
-        id_col,
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright("simhash", b * band_width).bitwiseAND(
-                        F.lit((1 << band_width) - 1)
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band", "band_val"),
+    # The signature IS the payload here (one long), so it rides through
+    # the band join directly (round 8, guide §2.3/§8: when the payload is
+    # lighter than the join keys there is nothing to save by re-attaching
+    # it later).  The former shape deduped the raw candidate set — tens of
+    # millions of (id_a, id_b) rows at corpus scale — through a full
+    # shuffle, then re-joined the signature relation TWICE to score them.
+    # Carrying the two longs through the band join lets the Hamming filter
+    # run inside the join stage, so the only post-join shuffle (the final
+    # distinct) sees the already-filtered near-dup pairs, orders of
+    # magnitude fewer rows.  Output is identical: every pair within
+    # max_hamming matches in >= 1 band (pigeonhole), duplicates from
+    # multi-band matches collapse in the final distinct, and `hamming` is
+    # a pure function of the pair so the distinct never merges rows that
+    # disagree.
+    bands = track(
+        simhash_signatures(df, id_col, text_col, bits).select(
+            id_col,
+            "simhash",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftright("simhash", b * band_width).bitwiseAND(
+                            F.lit((1 << band_width) - 1)
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("band", "band_val"),
+        )
     )
-    a = bands.select(F.col(id_col).alias("id_a"), "band", "band_val")
-    b = bands.select(F.col(id_col).alias("id_b"), "band", "band_val")
-    cand = (
-        a.join(b, ["band", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    a = bands.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), "band", "band_val"
     )
-    sa = sig.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"))
-    sb = sig.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"))
+    b = bands.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), "band", "band_val"
+    )
+    # pin the self-join's partition count EXPLICITLY (guide §2.5): its
+    # INPUT is tiny (n x n_bands rows of four integers) so AQE's
+    # input-byte coalescing would fold the join into one or two tasks —
+    # but the join OUTPUT is the quadratic-per-bucket candidate stream,
+    # invisible to the coalescing heuristic, and a 50k-doc corpus
+    # measured 8x slower with the collapsed layout.  The width derives
+    # from the context (defaultParallelism), not a local constant, and
+    # user-specified repartitioning is exempt from AQE coalescing.
+    n_part = df.sparkSession.sparkContext.defaultParallelism * 2
     return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
+        a.repartition(n_part, "band", "band_val")
+        .join(b.repartition(n_part, "band", "band_val"), ["band", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+        .distinct()
     )
-
-
-_CC_MEMO: dict = {}
-
-
-def _cc_memo_key(edges: DataFrame):
-    """Identity of a materialized labeling: (application id, canonical
-    plan hash, md5 of the sorted input-file listing).  None (-> no
-    memoization) when any piece is unavailable."""
-    import hashlib
-
-    try:
-        app = edges.sparkSession.sparkContext.applicationId
-        sh = edges._jdf.queryExecution().analyzed().semanticHash()
-        files = "\n".join(sorted(edges.inputFiles()))
-        return (app, sh, hashlib.md5(files.encode()).hexdigest())
-    except Exception:
-        return None
-
-
-def _cc_memo_clear() -> None:
-    _CC_MEMO.clear()
-
-
-_plan_cache.on_release(_cc_memo_clear)
 
 
 def component_labels(
@@ -623,50 +857,35 @@ def component_labels(
     EXECUTOR-side over one coalesced partition (round 6 — VERDICT r5
     item 6: the former driver path's limit-collect + createDataFrame
     moved the whole edge list driver-side and back, ~2.5 s of fixed
-    latency per invocation; the size probe is now a JVM-side
-    limit(K+1).count() that transfers one number, and the labels
-    materialize through a single mapInPandas + localCheckpoint job so
-    multiple consumers never re-run union-find).  Above the threshold
-    the distributed pointer-jumping loop runs.  Both paths return
-    identical (id, component) labels.
+    latency per invocation).  Above the threshold the distributed
+    pointer-jumping loop runs.  Both paths return identical
+    (id, component) labels.
+
+    Round 8 (guide §1.2/§5): the size probe no longer runs a separate
+    limit-count job over the un-materialized upstream — the symmetrized
+    edge list is localCheckpoint-ed FIRST (one job materializes the
+    LSH + Jaccard upstream exactly once and truncates its lineage; both
+    paths needed that materialization anyway), and the path-deciding
+    count is then a near-free scan of the checkpointed blocks.  The
+    former persist + limit(K+1).count() probe materialized cache
+    partitions incrementally and the follow-up labels job re-ran
+    whatever the limit's early-exit had skipped.  The round-7
+    cross-invocation result memo is GONE: repeated calls recompute from
+    their inputs (it also keyed only on the plan + file listing, so a
+    second call with different src/dst column args or in-place
+    overwritten input files silently returned the first call's labels
+    — the r7 advisory findings).
     """
-    # Memo across invocations (round 7, VERDICT r6 item 6): repeated
-    # calls on the SAME logical edge list — the bench's paired ABBA
-    # runs, a notebook re-running a keeper pipeline — pay the size probe
-    # and the labels materialization once per session instead of per
-    # call.  The key is the canonicalized analyzed plan (semanticHash)
-    # PLUS the current input-file listing and the Spark application id,
-    # so appended files, a different corpus behind the same plan shape,
-    # or a session restart all miss.  `plans.cache.release_all()` evicts.
-    key = _cc_memo_key(edges)
-    memo = _CC_MEMO.get(key) if key is not None else None
-    if memo is not None:
-        return memo
     und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    # persist BEFORE the size probe: the probe and (on either path) the
-    # follow-up materialization both reference sym, which usually sits on
-    # top of an expensive pipeline (LSH + Jaccard verify).  With the
-    # cache, whatever partitions the probe computes are reused, so the
-    # upstream subtree materializes at most once on BOTH paths.
-    sym = sym.persist()
-    try:
-        # ONE action decides the path: limit(K+1) stops the scan early on
-        # large graphs, and count() keeps the probe entirely JVM-side —
-        # no edge row ever crosses to the driver.
-        n_head = sym.limit(driver_collect_threshold + 1).count()
-        labels = _component_labels_inner(
-            edges, sym, n_head, driver_collect_threshold, max_iter
-        )
-        if key is not None:
-            _CC_MEMO[key] = labels
-        return labels
-    finally:
-        sym.unpersist()
+    sym = sym.localCheckpoint()
+    n_edges = sym.count()
+    return _component_labels_inner(
+        sym, n_edges, driver_collect_threshold, max_iter
+    )
 
 
 def _component_labels_inner(
-    edges: DataFrame,
     sym: DataFrame,
     n_head: int,
     driver_collect_threshold: int,
@@ -709,25 +928,19 @@ def _component_labels_inner(
 
         # single-partition executor-side solve (same boundedness as the
         # former driver collect, minus two driver round trips).
-        # repartition(1), NOT coalesce(1): the probe's limit-count may
-        # leave cache partitions unmaterialized, and coalesce would fold
-        # their upstream recompute into the lone task — the shuffle keeps
-        # the map side at full parallelism and moves only edge rows.  The
-        # checkpoint materializes labels ONCE for all downstream
-        # consumers and truncates the lineage back through sym.
+        # coalesce(1) is safe now that sym is checkpointed — the lone
+        # task reads materialized blocks instead of folding any upstream
+        # recompute into itself, and no shuffle files are written for
+        # <= driver_collect_threshold edge rows.  The labels checkpoint
+        # materializes the result ONCE for all downstream consumers.
         return (
-            sym.repartition(1)
+            sym.coalesce(1)
             .mapInPandas(_uf_partition, schema=schema)
             .localCheckpoint()
         )
-    # distributed path: checkpoint the edge list BEFORE iterating — every
-    # propagation round references sym, and localCheckpoint truncates the
-    # lineage so rounds never re-run the upstream.  The probe's cache is
-    # released as soon as the checkpoint has materialized (the outer
-    # finally's unpersist is then a no-op).
-    cached = sym
-    sym = sym.localCheckpoint()
-    cached.unpersist()
+    # distributed path: sym is already checkpointed, so every propagation
+    # round reads materialized blocks and the plan never deepens through
+    # the upstream.
     labels = (
         sym.select(F.col("a").alias("id")).distinct()
         .withColumn("component", F.col("id"))

@@ -89,28 +89,118 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    dim: int = 64,
 ) -> DataFrame:
-    """Exact cosine top-k: query ⨯ corpus -> per-query row_number <= k.
+    """Exact cosine top-k: every query scored against every corpus vector,
+    per-query row_number <= k, ties broken by neighbor id.
 
-    Queries are broadcast (the small side); ties broken by neighbor id so
-    the result set is fully deterministic.
+    Round 8 (guide §4.2/§8): the former crossJoin shipped BOTH 64-float
+    vectors of every (query, corpus) pair through Arrow — Q x N x 1 KB —
+    just so a pairwise UDF could re-read the same query vectors millions
+    of times.  Now the (small, bounded — same assumption the previous
+    broadcast made) query matrix rides once in the task closure and one
+    mapInPandas pass over the CORPUS scores each Arrow batch against all
+    queries at once with the identical per-dimension accumulation order
+    as `cosine_pandas`/`cosine` (bit-identical doubles).  Each batch is
+    pre-pruned to a provable superset of the global top-k: a candidate
+    whose unrounded sim is more than 1.1e-6 below its batch's k-th best
+    cannot survive 6-dp rounding (|round(x) - x| <= 5e-7), so the exact
+    JVM round + window ranking runs over ~Q*k rows per batch instead of
+    Q x N.  NULL vectors keep their former ranking semantics: null-sim
+    candidate rows are emitted (pruned to the k smallest neighbor ids,
+    their tie-break order) and rank below every scored row in the
+    NULLS-LAST window, exactly as the crossJoin produced them.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    import numpy as np
+    import pandas as pd
+
+    qpd = queries.select(id_col, vec_col).toPandas()
+    q_ids = qpd[id_col].to_numpy()
+    q_valid = np.array([v is not None for v in qpd[vec_col]])
+    Qm = (
+        np.array(
+            [np.asarray(v, dtype=np.float64) for v in qpd[vec_col][q_valid]]
+        ).reshape(-1, dim)
+        if q_valid.any()
+        else np.zeros((0, dim))
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    )
-    scored = (
-        F.broadcast(q)
-        .crossJoin(c)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "sim", F.round(cosine_pandas()(F.col("q_vec"), F.col("c_vec")), 6)
-        )
-    )
+    vq_ids = q_ids[q_valid]
+    nq_ids = q_ids[~q_valid]
+    qn = np.zeros(len(Qm))
+    for i in range(dim):
+        qn += Qm[:, i] * Qm[:, i]
+    qn = np.sqrt(qn)
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    schema = f"query_id {id_type}, neighbor_id {id_type}, sim double"
+
+    def _score(batches):
+        for pdf in batches:
+            c_ids = pdf[id_col].to_numpy()
+            valid = np.array([v is not None for v in pdf[vec_col]])
+            out_q, out_n, out_s = [], [], []
+            if valid.any() and len(Qm):
+                C = np.array(
+                    [np.asarray(v, np.float64) for v in pdf[vec_col][valid]]
+                ).reshape(-1, dim)
+                cid = c_ids[valid]
+                m = len(C)
+                dot = np.zeros((len(Qm), m))
+                cn = np.zeros(m)
+                for i in range(dim):
+                    # same IEEE accumulation order per element as the folds
+                    dot += Qm[:, i : i + 1] * C[:, i][None, :]
+                    cn += C[:, i] * C[:, i]
+                sim = dot / (qn[:, None] * np.sqrt(cn)[None, :])
+                self_mask = cid[None, :] == vq_ids[:, None]
+                sim_rank = np.where(self_mask, -np.inf, sim)
+                if m > k:
+                    kth = np.partition(sim_rank, m - k, axis=1)[:, m - k]
+                    keep = (sim_rank >= kth[:, None] - 1.1e-6) & ~self_mask
+                else:
+                    keep = ~self_mask
+                qi, ci = np.nonzero(keep)
+                out_q.append(vq_ids[qi])
+                out_n.append(cid[ci])
+                out_s.append(sim[qi, ci])
+            res = pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q) if out_q else [],
+                    "neighbor_id": np.concatenate(out_n) if out_n else [],
+                    "sim": np.concatenate(out_s) if out_s else [],
+                }
+            )
+            # null-sim rows: null corpus vectors against every query, and
+            # every corpus vector against null queries — k smallest
+            # neighbor ids per query per batch is a superset of their
+            # possible global ranks (ties order by neighbor_id)
+            null_parts = []
+            if (~valid).any():
+                nn = np.sort(c_ids[~valid])
+                for qid in q_ids:
+                    take = [K for K in nn[: k + 1] if K != qid][:k]
+                    null_parts.append(
+                        pd.DataFrame(
+                            {"query_id": qid, "neighbor_id": take, "sim": None}
+                        )
+                    )
+            if len(nq_ids) and valid.any():
+                vv = np.sort(c_ids[valid])
+                for qid in nq_ids:
+                    take = [K for K in vv[: k + 1] if K != qid][:k]
+                    null_parts.append(
+                        pd.DataFrame(
+                            {"query_id": qid, "neighbor_id": take, "sim": None}
+                        )
+                    )
+            if null_parts:
+                res = pd.concat([res] + null_parts, ignore_index=True)
+            yield res
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(_score, schema)
     return top_k_per_group(
-        scored.select("query_id", "neighbor_id", "sim"),
+        scored.select(
+            "query_id", "neighbor_id", F.round("sim", 6).alias("sim")
+        ),
         ["query_id"],
         [F.col("sim").desc(), F.col("neighbor_id").asc()],
         k,
@@ -243,7 +333,7 @@ def lsh_topk(
     scored = (
         q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+        .withColumn("sim", F.round(cosine_pandas()(F.col("q_vec"), F.col("c_vec")), 6))
     )
     return top_k_per_group(
         scored.select("query_id", "neighbor_id", "sim"),
@@ -301,7 +391,7 @@ def lsh_topk_multitable(
     scored = (
         cand.join(q_vecs, "query_id")
         .join(c_vecs, "neighbor_id")
-        .withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+        .withColumn("sim", F.round(cosine_pandas()(F.col("q_vec"), F.col("c_vec")), 6))
     )
     return top_k_per_group(
         scored.select("query_id", "neighbor_id", "sim"),
@@ -317,18 +407,65 @@ def ivf_cell_assignments(
     id_col: str,
     vec_col: str,
     top_cells: int,
+    dim: int = 64,
 ) -> DataFrame:
     """(id, cell) for the `top_cells` nearest centroids by dot product
-    (ties broken by cell id).  Centroids are broadcast — the inverted-
-    file coarse quantizer is tiny by construction."""
-    scored = vectors.crossJoin(F.broadcast(centroids)).select(
-        F.col(id_col),
-        F.col("cell"),
-        dot(F.col(vec_col), F.col("cent_vec")).alias("d"),
+    (ties broken by cell id).  The inverted-file coarse quantizer is tiny
+    by construction, so it travels in the task closure (round 8 — the
+    broadcast nested-loop + interpreted JVM fold evaluated
+    |vectors| x |cells| x dim lambda calls and then ranked the full
+    |vectors| x |cells| relation through a window; guide §4.2).  One
+    Arrow pass over the vectors scores all cells per batch with the
+    fold's exact per-dimension accumulation order, ranks the handful of
+    cells per vector in-process with the identical (d DESC, cell ASC)
+    total order, and emits only the `top_cells` winning rows — the
+    window disappears entirely.  NULL vectors keep the former
+    NULLS-LAST row_number semantics (cells 0..top_cells-1)."""
+    import numpy as np
+    import pandas as pd
+
+    cpd = centroids.toPandas()
+    cells = cpd["cell"].to_numpy()
+    order = np.argsort(cells, kind="stable")
+    cells = cells[order]
+    CENT = np.array(
+        [np.asarray(v, np.float64) for v in cpd["cent_vec"].to_numpy()[order]]
+    ).reshape(-1, dim)
+    n_cells = len(cells)
+    id_type = vectors.schema[id_col].dataType.simpleString()
+
+    def _assign(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            valid = np.array([v is not None for v in pdf[vec_col]])
+            out_i, out_c = [], []
+            if valid.any() and n_cells:
+                X = np.array(
+                    [np.asarray(v, np.float64) for v in pdf[vec_col][valid]]
+                ).reshape(-1, dim)
+                d = np.zeros((len(X), n_cells))
+                for i in range(dim):
+                    # same IEEE accumulation order per element as `dot`
+                    d += X[:, i : i + 1] * CENT[:, i][None, :]
+                # rank (d DESC, cell ASC): cells are sorted ascending, so
+                # a stable argsort on -d preserves the cell tie-break
+                rk = np.argsort(-d, axis=1, kind="stable")[:, :top_cells]
+                out_i.append(np.repeat(ids[valid], rk.shape[1]))
+                out_c.append(cells[rk].ravel())
+            if (~valid).any() and n_cells:
+                t = min(top_cells, n_cells)
+                out_i.append(np.repeat(ids[~valid], t))
+                out_c.append(np.tile(cells[:t], (~valid).sum()))
+            yield pd.DataFrame(
+                {
+                    id_col: np.concatenate(out_i) if out_i else [],
+                    "cell": np.concatenate(out_c) if out_c else [],
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        _assign, f"{id_col} {id_type}, cell int"
     )
-    return top_k_per_group(
-        scored, [id_col], [F.col("d").desc(), F.col("cell").asc()], top_cells
-    ).select(id_col, "cell")
 
 
 def ivf_topk(
@@ -383,7 +520,7 @@ def ivf_topk(
     scored = (
         cand.join(q_vecs, "query_id")
         .join(c_vecs, "neighbor_id")
-        .withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+        .withColumn("sim", F.round(cosine_pandas()(F.col("q_vec"), F.col("c_vec")), 6))
     )
     return top_k_per_group(
         scored.select("query_id", "neighbor_id", "sim"),
@@ -421,7 +558,7 @@ def embedding_neardup_pairs(
     return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", F.round(cosine(F.col("v_a"), F.col("v_b")), 6))
+        .withColumn("sim", F.round(cosine_pandas()(F.col("v_a"), F.col("v_b")), 6))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )

@@ -631,8 +631,9 @@ _MINHASH_SQL = f"""
 def lsh_candidate_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # array fast path: shingles -> per-doc signature array -> band keys as
     # pure projections (one shuffle total before the bucket join)
-    sh = dedup.shingles(_t(spark, sf_dir, "documents"))
-    return dedup.lsh_candidate_pairs(dedup.minhash_signature_arrays(sh))
+    return dedup.lsh_candidate_pairs(
+        dedup.minhash_signature_arrays_from_docs(_t(spark, sf_dir, "documents"))
+    )
 
 
 @_register(
@@ -660,9 +661,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-tokenizing the full corpus twice.
     """
     docs = _t(spark, sf_dir, "documents")
-    sh = track(dedup.shingles(docs))
-    pairs = dedup.lsh_candidate_pairs(dedup.minhash_signature_arrays(sh))
-    out = dedup.jaccard_verify(pairs, docs, threshold=0.5, shingles_df=sh)
+    pairs = dedup.lsh_candidate_pairs(
+        dedup.minhash_signature_arrays_from_docs(docs)
+    )
+    out = dedup.jaccard_verify(pairs, docs, threshold=0.5)
     return out.select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
 
 
@@ -696,9 +698,10 @@ def dedup_keepers_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     losers = non-keeper exact dups ∪ the larger id of each verified
     near-dup pair.  Everything shares ONE persisted shingle relation."""
     docs = _t(spark, sf_dir, "documents")
-    sh = track(dedup.shingles(docs))
-    pairs = dedup.lsh_candidate_pairs(dedup.minhash_signature_arrays(sh))
-    near = dedup.jaccard_verify(pairs, docs, threshold=0.5, shingles_df=sh)
+    pairs = dedup.lsh_candidate_pairs(
+        dedup.minhash_signature_arrays_from_docs(docs)
+    )
+    near = dedup.jaccard_verify(pairs, docs, threshold=0.5)
     near_losers = near.select(F.col("id_b").alias("doc_id")).distinct()
     w = Window.partitionBy(F.md5("text"))
     exact_losers = (
@@ -755,9 +758,10 @@ def dedup_keepers_cc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of which orientation LSH emitted each pair in.  Oracle:
     DuckDB recursive CTE computing min reachable id per node."""
     docs = _t(spark, sf_dir, "documents")
-    sh = track(dedup.shingles(docs))
-    pairs = dedup.lsh_candidate_pairs(dedup.minhash_signature_arrays(sh))
-    near = dedup.jaccard_verify(pairs, docs, threshold=0.5, shingles_df=sh)
+    pairs = dedup.lsh_candidate_pairs(
+        dedup.minhash_signature_arrays_from_docs(docs)
+    )
+    near = dedup.jaccard_verify(pairs, docs, threshold=0.5)
     labels = dedup.component_labels(near.select("id_a", "id_b"))
     near_losers = labels.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias("doc_id")
@@ -984,9 +988,10 @@ def training_corpus_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     |sources| rows and broadcasts; every stage is the same
     oracle-verified operator exposed individually."""
     docs = _t(spark, sf_dir, "documents")
-    sh = track(dedup.shingles(docs))
-    pairs = dedup.lsh_candidate_pairs(dedup.minhash_signature_arrays(sh))
-    near = dedup.jaccard_verify(pairs, docs, threshold=0.5, shingles_df=sh)
+    pairs = dedup.lsh_candidate_pairs(
+        dedup.minhash_signature_arrays_from_docs(docs)
+    )
+    near = dedup.jaccard_verify(pairs, docs, threshold=0.5)
     labels = dedup.component_labels(near.select("id_a", "id_b"))
     near_losers = labels.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias("doc_id")

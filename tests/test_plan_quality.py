@@ -70,11 +70,19 @@ def test_q3_broadcasts_only_customer_dimension(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
 
 
-def test_brute_force_topk_broadcasts_queries(spark):
+def test_brute_force_topk_ships_corpus_once(spark):
+    """Round 8: the query matrix travels in the task closure and ONE
+    Arrow pass over the corpus scores every (query, corpus) pair — the
+    plan must contain no join at all (the former broadcast crossJoin
+    shipped both vectors of every pair through Arrow), and the scan must
+    feed the Python stage directly."""
     from ms_ocr_spark.queries import ann_brute_force_topk
 
     plan = _plan(ann_brute_force_topk(spark, "/root/testdata/sf0.001"))
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+    # the only exchange is the final per-query top-k window
+    assert plan.count("Exchange") <= 1
 
 
 def test_extraction_with_skewed_megadocs(spark, tmp_path):
@@ -97,19 +105,18 @@ def test_extraction_with_skewed_megadocs(spark, tmp_path):
     assert g.join(r, ["doc_id", "js"]).count() == golden.count()
 
 
-def test_minhash_has_no_salt_explode(spark):
-    """One-pass minhash: 16 permuted hashes travel as columns of one row
-    per (doc, shingle) — the plan must contain NO salt-sequence explode
-    and exactly the two expected shuffles (shingle distinct + per-doc
-    min agg)."""
+def test_minhash_is_shuffle_free_one_pass(spark):
+    """Round 8: the signature is a per-document function computed in one
+    Arrow pass — the plan must contain NO salt-sequence explode and NO
+    exchange at all (the former relational path shuffled every
+    (doc, shingle) row through a distinct + min aggregation)."""
     from ms_ocr_spark.queries import minhash_signatures_docs
 
     spark.catalog.clearCache()  # cached shingles from other tests change the shape
     plan = _plan(minhash_signatures_docs(spark, "/root/testdata/sf0.001"))
     assert "sequence(0, 15" not in plan, "salt explode is back"
-    # distinct-shingles + per-doc min agg; Catalyst currently fuses them
-    # into ONE exchange — never more than two
-    assert 1 <= plan.count("Exchange") <= 2
+    assert "ArrowEvalPython" in plan
+    assert plan.count("Exchange") == 0
 
 
 def test_lsh_pairs_compute_signatures_once(spark):
@@ -147,15 +154,25 @@ def test_multitable_ann_explodes_ids_only(spark):
         assert "vec" not in line, line
 
 
-def test_ivf_quantizer_is_broadcast_and_jvm_only(spark):
-    """The IVF coarse quantizer (16 centroids) must reach every vector as
-    a broadcast (nested-loop over a tiny build side), with zero Python in
-    the plan — the assignment is pure fold arithmetic."""
+def test_ivf_assignment_is_one_pass_and_join_is_ids_only(spark):
+    """Round 8: the IVF coarse quantizer (16 centroids) travels in the
+    task closure and cell assignment is ONE Arrow pass over the vectors
+    emitting only (id, cell) — no |vectors| x |cells| relation, no
+    ranking window over it, no row-at-a-time Python.  The candidate
+    equi-join on cell must still carry ids only (vectors re-attach by id
+    for scoring)."""
     from ms_ocr_spark.queries import ann_ivf_topk
 
     plan = _plan(ann_ivf_topk(spark, "/root/testdata/sf0.001"))
-    assert "BroadcastNestedLoopJoin" in plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    join_lines = [
+        l for l in plan.splitlines() if "Join" in l and "cell" in l
+    ]
+    for line in join_lines:
+        assert "embedding" not in line and "vec" not in line.replace(
+            "vec_id", ""
+        ), line
 
 
 def test_passage_dedup_reads_cached_gram_relation(spark):
