@@ -15,7 +15,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .dedup import tokens_col
+from .dedup import _fanout, tokens_col
 
 # tiny per-language stopword inventories for the n-gram/stopword heuristic;
 # ASCII-only so the same literals work verbatim in the DuckDB oracle.
@@ -40,9 +40,40 @@ def lang_scores(text_col: str = "text") -> list[Column]:
     return cols
 
 
+def _lang_scores_udf():
+    """Per-doc stopword-hit counts for all languages in ONE Arrow pass
+    (round 8, guide §4.2): the column-expression form re-walks the token
+    array through an interpreted higher-order filter once per language.
+    Exact-match token counting is engine-trivial, so the counts are
+    bit-identical; a NULL token array yields a NULL struct (propagating
+    exactly like size(filter(NULL)))."""
+    fields = ", ".join(f"score_{lang}:int" for lang in LANG_ORDER)
+    sets = [frozenset(LANG_STOPWORDS[lang]) for lang in LANG_ORDER]
+
+    @F.pandas_udf(f"struct<{fields}>")
+    def _scores(toks: pd.Series) -> pd.DataFrame:
+        cols: list[list] = [[] for _ in LANG_ORDER]
+        for t in toks:
+            if t is None:
+                for c in cols:
+                    c.append(None)
+                continue
+            for c, sw in zip(cols, sets):
+                c.append(sum(1 for x in t if x in sw))
+        return pd.DataFrame(
+            {f"score_{lang}": cols[i] for i, lang in enumerate(LANG_ORDER)}
+        )
+
+    return _scores.asNondeterministic()
+
+
 def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Argmax language with 'und' when no stopword hits; first-in-order wins ties."""
-    scored = df.select(id_col, *lang_scores(text_col))
+    scored = _fanout(df).select(
+        id_col, _lang_scores_udf()(tokens_col(text_col)).alias("_s")
+    ).select(
+        id_col, *[F.col(f"_s.score_{lang}").alias(f"score_{lang}") for lang in LANG_ORDER]
+    )
     # fold in declared order with strict greater-than: first language wins ties
     best = F.lit("und")
     best_score = F.lit(0)
@@ -65,12 +96,31 @@ def quality_features(
           + (1 - min(punct_ratio*10, 1)) * 0.3
           + min(stopword_ratio*5, 1)   * 0.3           (rounded to 6 dp)
     """
-    toks = tokens_col(text_col)
-    n_tokens = F.size(toks)
+    all_sw = frozenset(w for v in LANG_STOPWORDS.values() for w in v)
+
+    # token-wise counts in ONE Arrow pass (round 8, guide §4.2 — the
+    # stopword filter was an interpreted per-token HOF); the text-level
+    # regex counts and every ratio/round stay in the JVM, bit-identical
+    @F.pandas_udf("struct<n_tokens:int,n_sw:int>")
+    def _counts(toks: pd.Series) -> pd.DataFrame:
+        nt, ns = [], []
+        for t in toks:
+            if t is None:
+                nt.append(None), ns.append(None)
+                continue
+            nt.append(len(t))
+            ns.append(sum(1 for x in t if x in all_sw))
+        return pd.DataFrame({"n_tokens": nt, "n_sw": ns})
+
+    base = _fanout(df).select(
+        id_col,
+        F.col(text_col),
+        _counts.asNondeterministic()(tokens_col(text_col)).alias("_c"),
+    )
+    n_tokens = F.col("_c.n_tokens")
     n_chars = F.length(text_col)
     n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), "[.,;:!?]", ""))
-    all_sw = sorted({w for v in LANG_STOPWORDS.values() for w in v})
-    n_sw = F.size(F.filter(toks, lambda t: t.isin(all_sw)))
+    n_sw = F.col("_c.n_sw")
     punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
     sw_ratio = F.when(n_tokens > 0, n_sw / n_tokens).otherwise(F.lit(0.0))
     score = (
@@ -78,7 +128,7 @@ def quality_features(
         + (1 - F.least(punct_ratio * 10, F.lit(1.0))) * 0.3
         + F.least(sw_ratio * 5, F.lit(1.0)) * 0.3
     )
-    return df.select(
+    return base.select(
         id_col,
         n_tokens.alias("n_tokens"),
         n_chars.alias("n_chars_m"),
@@ -115,11 +165,35 @@ def gopher_quality_flags(
     All integer-count arithmetic until the final divisions, so every
     ratio (and therefore every flag) is bit-identical cross-engine.
     """
-    toks = tokens_col(text_col)
-    n_words = F.size(toks).cast("long")
-    sum_len = F.aggregate(
-        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    # token-wise counts in ONE Arrow pass (round 8, guide §4.2): word
+    # count, summed word length and the has-an-[a-z]-character count were
+    # interpreted per-token HOF/regex walks.  Python len() and Spark
+    # length() both count code points, and `x.rlike("[a-z]")` is an
+    # unanchored search exactly like the set intersection below, so every
+    # count — and therefore every downstream ratio and flag, all still
+    # computed in the JVM — is bit-identical.  The text-level # and
+    # ellipsis counts stay as single-pass JVM regexes.
+    _AZ = frozenset("abcdefghijklmnopqrstuvwxyz")
+
+    @F.pandas_udf("struct<n_words:long,sum_len:int,n_alpha:long>")
+    def _counts(toks: pd.Series) -> pd.DataFrame:
+        nw, sl, na = [], [], []
+        for t in toks:
+            if t is None:
+                nw.append(None), sl.append(None), na.append(None)
+                continue
+            nw.append(len(t))
+            sl.append(sum(len(x) for x in t))
+            na.append(sum(1 for x in t if not _AZ.isdisjoint(x)))
+        return pd.DataFrame({"n_words": nw, "sum_len": sl, "n_alpha": na})
+
+    df = _fanout(df).select(
+        F.col(id_col),
+        F.col(text_col),
+        _counts.asNondeterministic()(tokens_col(text_col)).alias("_c"),
     )
+    n_words = F.col("_c.n_words")
+    sum_len = F.col("_c.sum_len")
     mean_wl = F.when(n_words > 0, sum_len / n_words).otherwise(F.lit(0.0))
     n_hash = F.length(text_col) - F.length(
         F.regexp_replace(F.col(text_col), "#", "")
@@ -131,7 +205,7 @@ def gopher_quality_flags(
     sym_ratio = F.when(n_words > 0, (n_hash + n_ellipsis) / n_words).otherwise(
         F.lit(0.0)
     )
-    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("long")
+    n_alpha = F.col("_c.n_alpha")
     alpha_frac = F.when(n_words > 0, n_alpha / n_words).otherwise(F.lit(0.0))
     passes = (
         (n_words >= 50)
@@ -244,12 +318,31 @@ def badword_fraction(
     size — no joins, no Python; the blocklist travels as a literal array
     (at 100 TB a large list would broadcast instead, same plan shape).
     Integer counts until the final division (bit-exact cross-engine)."""
-    toks = tokens_col(text_col)
-    bad = F.array(*[F.lit(w) for w in badwords])
-    n_tokens = F.size(toks).cast("long")
-    n_bad = F.size(F.filter(toks, lambda t: F.array_contains(bad, t))).cast("long")
+    bad = frozenset(badwords)
+
+    # token counts in ONE Arrow pass (round 8, guide §4.2 — the blocklist
+    # filter was an interpreted per-token HOF with a linear array scan
+    # per token); exact-match counting is engine-trivial, ratios and the
+    # flag stay in the JVM, bit-identical
+    @F.pandas_udf("struct<n_tokens:long,n_bad:long>")
+    def _counts(toks: pd.Series) -> pd.DataFrame:
+        nt, nb = [], []
+        for t in toks:
+            if t is None:
+                nt.append(None), nb.append(None)
+                continue
+            nt.append(len(t))
+            nb.append(sum(1 for x in t if x in bad))
+        return pd.DataFrame({"n_tokens": nt, "n_bad": nb})
+
+    base = _fanout(df).select(
+        F.col(id_col),
+        _counts.asNondeterministic()(tokens_col(text_col)).alias("_c"),
+    )
+    n_tokens = F.col("_c.n_tokens")
+    n_bad = F.col("_c.n_bad")
     frac = F.when(n_tokens > 0, n_bad / n_tokens).otherwise(F.lit(0.0))
-    return df.select(
+    return base.select(
         id_col,
         n_tokens.alias("n_tokens"),
         n_bad.alias("n_bad"),
