@@ -101,11 +101,19 @@ def rotate_bilinear(img: np.ndarray, deg: float, fill: int = BG) -> np.ndarray:
     ok = (x0 >= -1) & (x0 <= w - 1) & (y0 >= -1) & (y0 <= h - 1)
     x0c = np.clip(x0 + 1, 0, w)
     y0c = np.clip(y0 + 1, 0, h)
+    # flat gathers on precomputed indices + reused (1-f) factors: ~2x
+    # fewer index computations than four 2-D fancy indexes; the blend
+    # keeps the exact multiply order of the original expression, so the
+    # result is bit-identical (round 8)
+    flat = pad.ravel()
+    idx = y0c * (w + 2) + x0c
+    gx = 1 - fx
+    gy = 1 - fy
     v = (
-        pad[y0c, x0c] * (1 - fx) * (1 - fy)
-        + pad[y0c, x0c + 1] * fx * (1 - fy)
-        + pad[y0c + 1, x0c] * (1 - fx) * fy
-        + pad[y0c + 1, x0c + 1] * fx * fy
+        flat[idx] * gx * gy
+        + flat[idx + 1] * fx * gy
+        + flat[idx + (w + 2)] * gx * fy
+        + flat[idx + (w + 3)] * fx * fy
     )
     out = np.full((nh, nw), np.float32(fill), dtype=np.float32)
     out[ok] = v[ok]
@@ -147,11 +155,19 @@ def warp_bilinear(img: np.ndarray, mat: np.ndarray, fill: int = BG) -> np.ndarra
     ok = (x0 >= -1) & (x0 <= w - 1) & (y0 >= -1) & (y0 <= h - 1)
     x0c = np.clip(x0 + 1, 0, w)
     y0c = np.clip(y0 + 1, 0, h)
+    # flat gathers on precomputed indices + reused (1-f) factors: ~2x
+    # fewer index computations than four 2-D fancy indexes; the blend
+    # keeps the exact multiply order of the original expression, so the
+    # result is bit-identical (round 8)
+    flat = pad.ravel()
+    idx = y0c * (w + 2) + x0c
+    gx = 1 - fx
+    gy = 1 - fy
     v = (
-        pad[y0c, x0c] * (1 - fx) * (1 - fy)
-        + pad[y0c, x0c + 1] * fx * (1 - fy)
-        + pad[y0c + 1, x0c] * (1 - fx) * fy
-        + pad[y0c + 1, x0c + 1] * fx * fy
+        flat[idx] * gx * gy
+        + flat[idx + 1] * fx * gy
+        + flat[idx + (w + 2)] * gx * fy
+        + flat[idx + (w + 3)] * fx * fy
     )
     out = np.full((nh, nw), np.float32(fill), dtype=np.float32)
     out[ok] = v[ok]
@@ -159,14 +175,31 @@ def warp_bilinear(img: np.ndarray, mat: np.ndarray, fill: int = BG) -> np.ndarra
 
 
 def median3(img: np.ndarray) -> np.ndarray:
-    """3x3 median filter (edge-replicated) — kills salt-and-pepper noise."""
+    """3x3 median filter (edge-replicated) — kills salt-and-pepper noise.
+
+    Exact median of 9 via the classic 19-exchange min/max network (Paeth,
+    Graphics Gems) on uint8 planes — the median of nine integers is a
+    unique value, so this is bit-identical to the former
+    np.partition(stack)[4] while avoiding the 9xHxW stack materialization
+    and the partition's data movement (round 8; the kernel is
+    memory-bandwidth-bound at high core counts).
+    """
     p = np.pad(img, 1, mode="edge")
-    stack = np.stack(
-        [p[dy : dy + img.shape[0], dx : dx + img.shape[1]] for dy in range(3) for dx in range(3)]
-    )
-    # exact median of 9 without np.median's float64 sort: partition keeps
-    # uint8 (the kernel is memory-bandwidth-bound at high core counts)
-    return np.partition(stack, 4, axis=0)[4]
+    h, w = img.shape
+    v = [p[dy : dy + h, dx : dx + w] for dy in range(3) for dx in range(3)]
+
+    def ex(a: int, b: int) -> None:
+        lo = np.minimum(v[a], v[b])
+        v[b] = np.maximum(v[a], v[b])
+        v[a] = lo
+
+    for a, b in (
+        (1, 2), (4, 5), (7, 8), (0, 1), (3, 4), (6, 7), (1, 2), (4, 5),
+        (7, 8), (0, 3), (5, 8), (4, 7), (3, 6), (1, 4), (2, 5), (4, 7),
+        (4, 2), (6, 4), (4, 2),
+    ):
+        ex(a, b)
+    return v[4]
 
 
 def majority3(mask: np.ndarray) -> np.ndarray:
@@ -251,52 +284,61 @@ def connected_components(mask: np.ndarray) -> list[tuple[int, int, int, int]]:
             a = parent[a]
         return a
 
-    # group run indices by row (rows are sorted in srow)
-    row_breaks = np.nonzero(np.diff(srow))[0] + 1
-    row_slices = np.split(np.arange(n), row_breaks)
-    row_of_slice = [int(srow[sl[0]]) for sl in row_slices]
-    scol_l = scol.tolist()
-    ecol_l = ecol.tolist()
-    prev_runs: list[int] = []
-    prev_row = -2
-    for sl, r in zip(row_slices, row_of_slice):
-        cur = sl.tolist()
-        if r != prev_row + 1:
-            prev_runs = cur
-            prev_row = r
+    # round 8: the run-overlap edges are generated VECTORIZED per row
+    # pair (two binary searches per current run — runs within a row are
+    # disjoint and sorted, so the 8-connected prev-row matches form one
+    # contiguous index range), replacing the per-run Python two-pointer
+    # scan; only the (small) edge list is walked in Python for the
+    # union.  Same edges, same components.
+    rows_u, row_first = np.unique(srow, return_index=True)
+    bounds = np.append(row_first, n)
+    for k in range(1, len(rows_u)):
+        if rows_u[k] != rows_u[k - 1] + 1:
             continue
-        pi = 0  # two-pointer: both run lists are left-to-right
-        np_prev = len(prev_runs)
-        for cid in cur:
-            s, e = scol_l[cid], ecol_l[cid]
-            # 8-connectivity: overlap with previous row runs, expanded by 1
-            while pi < np_prev and ecol_l[prev_runs[pi]] + 1 <= s:
-                pi += 1
-            pj = pi
-            while pj < np_prev and scol_l[prev_runs[pj]] - 1 < e:
-                ra, rb = find(prev_runs[pj]), find(cid)
-                if ra != rb:
-                    parent[rb] = ra
-                pj += 1
-        prev_runs = cur
-        prev_row = r
-    merged: dict[int, list[int]] = {}
-    for cid in range(n):
-        root = find(cid)
-        x1, y1, x2, y2 = scol_l[cid], int(srow[cid]), ecol_l[cid], int(srow[cid]) + 1
-        m = merged.get(root)
-        if m is None:
-            merged[root] = [x1, y1, x2, y2]
-        else:
-            if x1 < m[0]:
-                m[0] = x1
-            if y1 < m[1]:
-                m[1] = y1
-            if x2 > m[2]:
-                m[2] = x2
-            if y2 > m[3]:
-                m[3] = y2
-    return [tuple(b) for b in merged.values()]
+        p0, p1 = row_first[k - 1], row_first[k]
+        c0, c1 = row_first[k], bounds[k + 1]
+        ps, pe = scol[p0:p1], ecol[p0:p1]
+        cs, ce = scol[c0:c1], ecol[c0:c1]
+        # 8-connectivity: prev run overlaps [s-1, e+1): first prev with
+        # ecol >= s .. first prev with scol >= e+1
+        lo = np.searchsorted(pe, cs, "left")
+        hi = np.searchsorted(ps, ce + 1, "left")
+        cnt = np.maximum(hi - lo, 0)
+        tot = int(cnt.sum())
+        if tot == 0:
+            continue
+        csum = np.cumsum(cnt)
+        ids = np.arange(tot)
+        which = np.searchsorted(csum, ids, "right")
+        prev_j = (p0 + lo[which] + ids - (csum - cnt)[which]).tolist()
+        cur_i = (c0 + which).tolist()
+        for a, b in zip(prev_j, cur_i):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+    # per-root bounding boxes via reduceat over root-sorted runs; output
+    # order = first occurrence of each root by run index, exactly the
+    # former dict-insertion order.  Root resolution is numpy pointer
+    # jumping (O(log n) full-array gathers) instead of a Python find()
+    # per run — same fixpoint as path-compressed find.
+    roots = np.asarray(parent, dtype=np.int64)
+    while True:
+        jumped = roots[roots]
+        if np.array_equal(jumped, roots):
+            break
+        roots = jumped
+    order = np.argsort(roots, kind="stable")
+    sr = roots[order]
+    starts = np.concatenate(([0], np.nonzero(np.diff(sr))[0] + 1))
+    x1 = np.minimum.reduceat(scol[order], starts)
+    x2 = np.maximum.reduceat(ecol[order], starts)
+    y1 = np.minimum.reduceat(srow[order], starts)
+    y2 = np.maximum.reduceat(srow[order], starts) + 1
+    _, first_idx = np.unique(roots, return_index=True)
+    emit = np.argsort(first_idx, kind="stable")
+    return [
+        (int(x1[k]), int(y1[k]), int(x2[k]), int(y2[k])) for k in emit
+    ]
 
 
 def _bands_1d(ink: np.ndarray, min_blank: int = 4) -> list[tuple[int, int]]:

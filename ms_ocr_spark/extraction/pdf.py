@@ -71,6 +71,28 @@ _BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
 _BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
 _CMAP_TOK_RE = re.compile(rb"<([0-9A-Fa-f]+)>|(\[)|(\])")
 _ENCRYPT_RE = re.compile(rb"/Encrypt\s+\d+\s+\d+\s+R")
+_XREF_STREAM_RE = re.compile(rb"/Type\s*/XRef")
+
+
+def _is_encrypted(data: bytes) -> bool:
+    """True when a TRAILER dictionary carries /Encrypt (ISO 32000-1 7.6).
+
+    The probe is scoped to the regions where the reference can legally
+    appear — after each `trailer` keyword and around /Type /XRef
+    cross-reference stream dictionaries — instead of the whole byte
+    stream: an unencrypted PDF whose content or string data happens to
+    contain the literal `/Encrypt 9 0 R` must not be quarantined
+    (round-8 fix of the r7 advisory finding).
+    """
+    for m in re.finditer(rb"trailer", data):
+        if _ENCRYPT_RE.search(data, m.end(), m.end() + 2048):
+            return True
+    for m in _XREF_STREAM_RE.finditer(data):
+        if _ENCRYPT_RE.search(
+            data, max(0, m.start() - 2048), m.start() + 2048
+        ):
+            return True
+    return False
 
 # Adobe Glyph List subset covering the names a text-layer /Differences
 # realistically uses (ASCII + common Latin-1 accents + typographic
@@ -608,7 +630,7 @@ def pdf_scope_reason(data: bytes) -> str | None:
     without key material and get a distinct class."""
     if data[:4] != b"%PDF":
         return "not_a_pdf"
-    if _ENCRYPT_RE.search(data):
+    if _is_encrypted(data):
         return "encrypted_pdf"
     return None
 
@@ -623,7 +645,7 @@ def pdf_text_spans(data: bytes) -> list[tuple]:
     object order (tolerant mode for linearized/cut files).  Encrypted
     PDFs raise (quarantine class `encrypted_pdf` via
     `pdf_scope_reason`)."""
-    if _ENCRYPT_RE.search(data):
+    if _is_encrypted(data):
         raise ValueError("encrypted PDF (/Encrypt) — no key material")
     objs = _pdf_objects(data)
     page_contents: list[tuple[list[int], dict]] = []

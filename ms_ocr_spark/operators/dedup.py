@@ -6,15 +6,17 @@ integers (functions/hashing.py) so every stage has a bit-identical DuckDB
 oracle.  No reference counterpart (the reference dedups boxes, not docs —
 SURVEY.md §2.2 P7); included per the engine's training-data mandate.
 
-Scale notes:
+Scale notes (round 8):
   * exact: one groupBy on the content hash — map-side partial agg makes
     the shuffle proportional to distinct keys.
-  * minhash: explode(shingles) dominates; all 16 salted hashes travel as
-    ONE row per (doc, shingle) and min-aggregate map-side (no salt
-    explode).  The band join only moves (doc_id, band_key) pairs; bucket
-    skew (a viral shingle set) is bounded because keys are full
-    4-minhash band signatures.
-  * simhash: one explode + one groupBy; signatures join on equality.
+  * minhash/simhash: signatures are pure per-document functions and are
+    computed in ONE Arrow pass each (no shuffle at all); the LSH band
+    join only moves (doc_id, band_key) pairs; bucket skew (a viral
+    shingle set) is bounded because keys are full 4-minhash band
+    signatures.
+  * jaccard verify: candidate pairs attach their two token arrays by id
+    equi-joins and intersect shingle sets per pair — the corpus-wide
+    (doc, shingle) relation never shuffles.
 """
 
 from __future__ import annotations

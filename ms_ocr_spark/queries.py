@@ -2631,14 +2631,17 @@ _STABLE_TAIL = [
     "scalar_functions_events",
     "search_match_docs",
     # box/table geometry — green since r2/r3, untouched
+    # (dedup_boxes_keep_first rotated BACK into the window in round 8:
+    # its keep-first kernel was restructured, so it must sit in the
+    # driver-checked first 50 per the touched-query discipline)
     "overlap_join_boxes",
     "containment_anti_boxes",
     "table_grid_cells",
     "grid_pivot_cells",
-    "dedup_boxes_keep_first",
     # text-stat scalars — green since r3/r4, untouched
+    # (badword_fraction_docs rotated back in round 8: its token counting
+    # moved into an Arrow stage)
     "token_count_docs",
-    "badword_fraction_docs",
     "split_assign_docs",
 ]
 

@@ -105,18 +105,21 @@ def test_extraction_with_skewed_megadocs(spark, tmp_path):
     assert g.join(r, ["doc_id", "js"]).count() == golden.count()
 
 
-def test_minhash_is_shuffle_free_one_pass(spark):
+def test_minhash_is_one_pass_without_data_shuffle(spark):
     """Round 8: the signature is a per-document function computed in one
     Arrow pass — the plan must contain NO salt-sequence explode and NO
-    exchange at all (the former relational path shuffled every
-    (doc, shingle) row through a distinct + min aggregation)."""
+    hash-partitioned data shuffle (the former relational path shuffled
+    every (doc, shingle) row through a distinct + min aggregation).  The
+    only permissible exchange is the round-robin fan-out that widens a
+    single-row-group scan to cluster width."""
     from ms_ocr_spark.queries import minhash_signatures_docs
 
     spark.catalog.clearCache()  # cached shingles from other tests change the shape
     plan = _plan(minhash_signatures_docs(spark, "/root/testdata/sf0.001"))
     assert "sequence(0, 15" not in plan, "salt explode is back"
     assert "ArrowEvalPython" in plan
-    assert plan.count("Exchange") == 0
+    assert "hashpartitioning" not in plan, "data shuffle is back"
+    assert "HashAggregate" not in plan, "relational min-agg is back"
 
 
 def test_lsh_pairs_compute_signatures_once(spark):
