@@ -242,6 +242,12 @@ def estimate_skew(mask: np.ndarray, grid: np.ndarray = SKEW_GRID) -> float:
     best_deg, best_score = 0.0, -1.0
     xs32 = (xs - cx).astype(np.float32)
     ys32 = (ys - cy).astype(np.float32)
+    # one fixed offset bounds every rotated coordinate (|yr| <= |x|+|y|),
+    # so the per-angle rows.min()/cols.min() reduction passes disappear;
+    # bincount's extra leading/trailing zero bins add 0 to the squared
+    # profile energy — scores, and therefore the argmax, are unchanged
+    # (round 8)
+    off = int(np.ceil(np.abs(xs32).max() + np.abs(ys32).max())) + 1
     for deg in grid:
         th = np.deg2rad(-deg)  # candidate correction
         c, s = np.float32(np.cos(th)), np.float32(np.sin(th))
@@ -249,8 +255,8 @@ def estimate_skew(mask: np.ndarray, grid: np.ndarray = SKEW_GRID) -> float:
         xr = c * xs32 + s * ys32
         rows = np.rint(yr).astype(np.int64)
         cols = np.rint(xr).astype(np.int64)
-        rcounts = np.bincount(rows - rows.min()).astype(np.float64)
-        ccounts = np.bincount(cols - cols.min()).astype(np.float64)
+        rcounts = np.bincount(rows + off).astype(np.float64)
+        ccounts = np.bincount(cols + off).astype(np.float64)
         # rows dominate (line alignment), columns break ties on short
         # single-line text where the row profile is weakly discriminative
         score = float((rcounts**2).sum()) + float((ccounts**2).sum())
@@ -441,7 +447,9 @@ def _merge_y_overlaps(col: list[tuple[int, int, int, int]]) -> list[tuple[int, i
 def _resize_mask_nn(mask: np.ndarray, h: int, w: int) -> np.ndarray:
     ys = np.minimum((np.arange(h) * mask.shape[0] / h).astype(np.int64), mask.shape[0] - 1)
     xs = np.minimum((np.arange(w) * mask.shape[1] / w).astype(np.int64), mask.shape[1] - 1)
-    return mask[np.ix_(ys, xs)]
+    # two axis takes replace np.ix_'s open-mesh fancy index — same gather,
+    # less per-call overhead (round 8; this sits inside the per-glyph loop)
+    return mask.take(ys, axis=0).take(xs, axis=1)
 
 
 _POPCNT = np.array([bin(i).count("1") for i in range(256)], dtype=np.int32)

@@ -22,12 +22,13 @@ Formula: the Lucene/Robertson "plus one" BM25:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ms_ocr_spark.plans.cache import track
 
-from .dedup import tokens_col
+from .dedup import _fanout, tokens_col
 
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -46,30 +47,51 @@ def bm25_topk(
     deterministic and oracle-identical; the output score is rounded to
     6 dp for display/hash parity.
     """
-    toks = df.select(id_col, tokens_col(text_col).alias("t"))
-    # corpus stats: N and avgdl from one tiny aggregate (broadcast join —
-    # a single row), doc lengths ride the token relation
-    lens = toks.select(id_col, F.size("t").cast("long").alias("dl"))
+    q = sorted(set(query_terms))
+
+    # ONE Arrow pass over the corpus computes the document length and the
+    # per-query-term frequencies together (round 8, guide §4.2/§2.3):
+    # the former plan tokenized the corpus THREE times (length relation,
+    # corpus stats, postings explode+filter) and re-attached lengths to
+    # postings with an extra id join.  Counts are exact integers, every
+    # downstream expression (idf rounding, tf scaling, the term-sorted
+    # fold) is unchanged JVM arithmetic.
+    @F.pandas_udf("struct<dl:long,tfs:array<long>>")
+    def _doc_tf(toks: pd.Series) -> pd.DataFrame:
+        dls, tfs = [], []
+        for t in toks:
+            if t is None:
+                dls.append(None), tfs.append(None)
+                continue
+            dls.append(len(t))
+            tfs.append([sum(1 for x in t if x == term) for term in q])
+        return pd.DataFrame({"dl": dls, "tfs": tfs})
+
+    # consumed twice (corpus stats + postings) -> persisted via track()
+    base = track(
+        _fanout(df).select(
+            id_col, _doc_tf.asNondeterministic()(tokens_col(text_col)).alias("_b")
+        )
+    )
+    lens = base.select(id_col, F.col("_b.dl").alias("dl"))
     stats = lens.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("n_tokens")
     )
-    q = sorted(set(query_terms))
-    # tiny relation (docs x matched query terms), consumed twice (scores
-    # + document frequencies) -> persisted via track() so the tokenize +
-    # explode subtree runs once
-    postings = track(
-        toks.select(id_col, F.explode("t").alias("term"))
-        .filter(F.col("term").isin(q))  # pushdown: only query terms move
-        .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    q_arr = F.array(*[F.lit(t) for t in q])
+    postings = (
+        base.select(
+            id_col,
+            F.col("_b.dl").alias("dl"),
+            F.posexplode("_b.tfs").alias("qi", "tf"),
+        )
+        .filter(F.col("tf") > 0)
+        .select(id_col, "dl", q_arr[F.col("qi")].alias("term"), "tf")
     )
     dfreq = postings.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )
-    scored = (
-        postings.join(F.broadcast(dfreq), "term")
-        .join(lens, id_col)
-        .crossJoin(F.broadcast(stats))
+    scored = postings.join(F.broadcast(dfreq), "term").crossJoin(
+        F.broadcast(stats)
     )
     avgdl = F.col("n_tokens") / F.col("n_docs")
     idf = F.round(

@@ -243,18 +243,17 @@ def test_containment_candidates_cache_gram_relation_once(spark):
     assert plan.count("InMemoryTableScan") >= 3
 
 
-def test_bm25_plan_broadcasts_and_filters_terms(spark):
-    """BM25 (round 5): the query-term IN-filter must sit on the exploded
-    postings BEFORE aggregation (only query terms move), term/corpus
-    stats must broadcast (no sort-merge join anywhere), and the shared
-    postings relation must read from cache on both consumers."""
+def test_bm25_plan_single_corpus_pass_and_broadcasts(spark):
+    """BM25 (round 8): ONE Arrow pass over the corpus computes document
+    length and per-query-term frequencies together (the round-5 shape
+    tokenized the corpus three times and moved postings through an
+    explode + IN-filter); term/corpus stats must broadcast (no
+    sort-merge join anywhere) and the shared per-doc relation must read
+    from cache on every consumer."""
     from ms_ocr_spark.queries import bm25_topk_docs
 
     plan = _plan(bm25_topk_docs(spark, "/root/testdata/sf0.001"))
     assert "SortMergeJoin" not in plan
-    assert plan.count("BroadcastHashJoin") >= 2
-    assert any(
-        "Filter" in line and "term" in line and " IN (" in line
-        for line in plan.splitlines()
-    ), "query-term filter missing from the postings scan"
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" in plan
     assert plan.count("InMemoryTableScan") >= 2
