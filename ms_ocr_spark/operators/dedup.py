@@ -811,8 +811,13 @@ def simhash_near_dup_pairs(
     # from the context (defaultParallelism), not a local constant, and
     # user-specified repartitioning is exempt from AQE coalescing.
     n_part = df.sparkSession.sparkContext.defaultParallelism * 2
+    # shuffled-hash, not sort-merge: per-partition band relations are a
+    # few MB (hash build is trivially safe) while SMJ would sort both
+    # sides AND copy rows across the large duplicate-key groups the
+    # candidate stream produces (guide §3.1)
     return (
         a.repartition(n_part, "band", "band_val")
+        .hint("shuffle_hash")
         .join(b.repartition(n_part, "band", "band_val"), ["band", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(

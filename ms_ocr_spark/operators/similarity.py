@@ -536,29 +536,81 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     n_planes: int = 8,
+    dim: int = 64,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine >= threshold, LSH-bucket prefiltered
     (pairs in different buckets are never compared — documented recall
-    tradeoff, same bucketing as the oracle)."""
-    # persist: the self-join references the bucketed relation twice and the
-    # bucket projection per row is the expensive part — compute it once
-    c = track(
-        corpus.select(
-            id_col,
-            vec_col,
-            lsh_buckets_pandas(n_planes)(F.col(vec_col))[0].alias("bucket"),
+    tradeoff, same bucketing as the oracle).
+
+    Round 8 (guide §2.3/§4.2): the former bucket self-join materialized
+    every candidate pair WITH both 64-float vectors attached and shipped
+    them through Arrow to a pairwise cosine UDF — ~1 KB per candidate.
+    Now each bucket's vectors cross the boundary once: groupBy(bucket) +
+    applyInPandas computes the in-bucket pairwise cosines blockwise in
+    numpy with the exact per-dimension accumulation order of the
+    `cosine` fold (bit-identical doubles), pre-filters with a
+    conservative margin (round6(x) >= threshold requires
+    x >= threshold - 5e-7), and the exact 6-dp round + threshold run in
+    the JVM as before.  Pair orientation (id_a < id_b on raw ids), NULL
+    vectors (never compared) and NULL buckets (never joined) behave
+    identically.  Block size bounds memory to block x |bucket| doubles,
+    so a pathologically hot bucket degrades gracefully instead of
+    allocating |bucket|^2 at once.
+    """
+    import numpy as np
+
+    buckets = lsh_buckets_pandas(n_planes).asNondeterministic()
+    c = corpus.select(
+        id_col, vec_col, buckets(F.col(vec_col))[0].alias("bucket")
+    ).filter(F.col("bucket").isNotNull())
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    lo = threshold - 1e-6
+    block = 1024
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        valid = np.array([v is not None for v in pdf[vec_col]])
+        ids = pdf[id_col].to_numpy()[valid]
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []})
+        order = np.argsort(ids)
+        ids = ids[order]
+        X = np.array(
+            [np.asarray(v, np.float64) for v in pdf[vec_col][valid]]
+        ).reshape(-1, dim)[order]
+        m = len(X)
+        nrm = np.zeros(m)
+        for i in range(dim):
+            nrm += X[:, i] * X[:, i]
+        nrm = np.sqrt(nrm)
+        out_a, out_b, out_s = [], [], []
+        for b0 in range(0, m - 1, block):
+            b1 = min(b0 + block, m)
+            dot = np.zeros((b1 - b0, m))
+            for i in range(dim):
+                # same IEEE accumulation order per element as the folds
+                dot += X[b0:b1, i : i + 1] * X[:, i][None, :]
+            sim = dot / (nrm[b0:b1, None] * nrm[None, :])
+            ri, cj = np.nonzero(sim >= lo)
+            # strict id comparison, exactly the join's id_a < id_b — on
+            # the id-sorted layout this is the upper triangle, and rows
+            # sharing an id (if any) never pair, matching the join
+            upper = ids[cj] > ids[ri + b0]
+            ri, cj = ri[upper], cj[upper]
+            out_a.append(ids[ri + b0])
+            out_b.append(ids[cj])
+            out_s.append(sim[ri, cj])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a) if out_a else [],
+                "id_b": np.concatenate(out_b) if out_b else [],
+                "sim": np.concatenate(out_s) if out_s else [],
+            }
         )
-    )
-    a = c.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "bucket"
-    )
-    b = c.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "bucket"
+
+    out = c.groupBy("bucket").applyInPandas(
+        _pairs, schema=f"id_a {id_type}, id_b {id_type}, sim double"
     )
     return (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", F.round(cosine_pandas()(F.col("v_a"), F.col("v_b")), 6))
+        out.select("id_a", "id_b", F.round("sim", 6).alias("sim"))
         .filter(F.col("sim") >= threshold)
-        .select("id_a", "id_b", "sim")
     )
