@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from . import dedup as dedup_mod
 from .windows import gap_cluster
 
 
@@ -43,11 +44,17 @@ def overlap_join(
     co-location means no cross-doc pair explosion.  Integer overlap math
     (2*overlap > area) avoids float comparisons for oracle parity.
     """
-    c = cells.select(
+    # pinned join width (round 8, guide §2.5): the per-doc theta join
+    # multiplies rows (|cells| x |texts| per doc) while its INPUT bytes
+    # are small — AQE's coalescing would fold the amplified join into a
+    # few tasks (measured 3.8 -> 2.3 s at 6M lineitem rows with the
+    # explicit width; see dedup.pinned_width for the derivation)
+    n_part = dedup_mod.pinned_width(cells)
+    c = cells.repartition(n_part, doc_col).select(
         F.col(doc_col),
         *[F.col(n).alias(f"c_{n}") for n in ("box_id", "x1", "y1", "x2", "y2")],
     )
-    t = texts.select(
+    t = texts.repartition(n_part, doc_col).select(
         F.col(doc_col),
         *[F.col(n).alias(f"t_{n}") for n in ("box_id", "x1", "y1", "x2", "y2")],
     )
@@ -198,7 +205,7 @@ def dedup_overlap_keep_first(
         outs = [_dedup(g) for _, g in big.groupby(doc_col, sort=False)]
         yield pd.concat(outs, ignore_index=True) if outs else big.iloc[0:0]
 
-    n_part = boxes.sparkSession.sparkContext.defaultParallelism * 2
+    n_part = dedup_mod.pinned_width(boxes)
     return boxes.repartition(n_part, doc_col).mapInPandas(_run, schema=schema)
 
 

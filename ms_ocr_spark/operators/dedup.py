@@ -33,6 +33,18 @@ from ms_ocr_spark.plans.cache import track
 TOKEN_PATTERN = "\\s+"
 
 
+def pinned_width(df: DataFrame) -> int:
+    """Partition count for joins whose OUTPUT is amplified far beyond
+    their input bytes (round 8, guide §2.5): AQE's input-byte coalescing
+    would fold such joins into a handful of tasks, so the width is
+    pinned explicitly — never narrower than the cluster (defaultParallelism
+    x 2) or the session's configured shuffle width, and never a local
+    constant."""
+    spark = df.sparkSession
+    conf_w = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return max(spark.sparkContext.defaultParallelism * 2, conf_w)
+
+
 def _fanout(df: DataFrame) -> DataFrame:
     """Ensure at least cluster-width parallelism ahead of a per-row Arrow
     stage (round 8, guide §2.5 input skew / §6 input splits): a small
@@ -810,7 +822,7 @@ def simhash_near_dup_pairs(
     # measured 8x slower with the collapsed layout.  The width derives
     # from the context (defaultParallelism), not a local constant, and
     # user-specified repartitioning is exempt from AQE coalescing.
-    n_part = df.sparkSession.sparkContext.defaultParallelism * 2
+    n_part = pinned_width(df)
     # shuffled-hash, not sort-merge: per-partition band relations are a
     # few MB (hash build is trivially safe) while SMJ would sort both
     # sides AND copy rows across the large duplicate-key groups the
